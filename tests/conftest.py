@@ -6,12 +6,21 @@ a simulated 8-device CPU mesh (SURVEY.md §4's recommended strategy).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Must be set before jax is imported anywhere.  Hard-set (not setdefault):
+# the environment pins JAX_PLATFORMS=axon for the real-TPU tunnel, but tests
+# must run on the virtual CPU mesh.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# Plugins may import jax before this conftest runs; jax_platforms can still
+# be forced as long as no backend has been initialized yet.
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
+assert jax.default_backend() == 'cpu', 'tests must run on the virtual CPU mesh'
+assert jax.device_count() == 8, 'expected 8 virtual CPU devices'
 
 import pytest  # noqa: E402
 
