@@ -1,0 +1,129 @@
+"""The flagship ASR encoder: arch_vec -> CTC-ready logits, Flax/linen.
+
+TPU-native re-implementation of the macro-architecture shared by both
+reference backends (``model/tf/model.py:49-95``,
+``model/torch/model.py:62-131``):
+
+  [B, T, 80] log-mel → mask → frozen mean/var norm →
+  4 × (PadConvRelu(k=8, stride 1/1/2/2, filters 600/800/1000/1200)
+       → LayerNorm → {3,4,5,6} SearchCells)
+  → optional LSTM(500) → Dense(49)
+
+Output is unnormalised logits with CTC blank at index 0; total time
+reduction ×4.  Parameter counts for the README arch
+``[[1,0],[1,0,0],[1,0,0,0]]``: 26,339,349 with the LSTM head and
+22,971,649 without.  (The README's published 26,338,848 corresponds to a
+48-unit head — an off-by-one in the reference's static-info generator; see
+tests/test_model.py.)
+"""
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..search_space import arch_vec_to_names
+from .cell import SearchCell, CELL_DROPOUT
+from .layers import MeanVarianceNorm, PadConvRelu, norm_eps
+
+__all__ = ['ASRModel', 'get_model', 'count_params', 'logits_length']
+
+_BLOCK_KERNELS = (8, 8, 8, 8)
+_BLOCK_STRIDES = (1, 1, 2, 2)
+_BLOCK_FILTERS = (600, 800, 1000, 1200)
+_CELLS_PER_BLOCK = (3, 4, 5, 6)
+
+
+class ASRModel(nn.Module):
+    """NAS-Bench-ASR encoder for a fixed cell architecture.
+
+    ``arch_desc`` uses op *names* (``[['conv5', 0], ...]``); build from an
+    index vector with :func:`get_model` / :meth:`from_arch_vec`.
+    """
+
+    arch_desc: tuple
+    num_classes: int = 48
+    use_rnn: bool = False
+    use_norm: bool = True
+    dropout_rate: float = 0.0
+    cell_dropout: float = CELL_DROPOUT
+    data_mean: tuple = None
+    data_variance: tuple = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_arch_vec(cls, arch_vec, **kwargs):
+        return cls(arch_desc=tuple(map(tuple, arch_vec_to_names(arch_vec))), **kwargs)
+
+    @nn.compact
+    def __call__(self, features, feature_size=None, train=False):
+        """[B, T, 80] features (+ true frame counts) -> [B, ceil(T/4), C+1] logits."""
+        x = features.astype(self.compute_dtype)
+        mask = None
+        if feature_size is not None:
+            t = jnp.arange(x.shape[1])[None, :]
+            mask = t < feature_size[:, None]
+            x = jnp.where(mask[..., None], x, 0.0)  # Masking layer semantics
+
+        if self.data_mean is not None:
+            x = MeanVarianceNorm(jnp.asarray(self.data_mean),
+                                 jnp.asarray(self.data_variance),
+                                 name='data_norm')(x, mask=mask)
+
+        specs = zip(_BLOCK_KERNELS, _BLOCK_STRIDES, _BLOCK_FILTERS, _CELLS_PER_BLOCK)
+        for i, (kernel, stride, filters, cells) in enumerate(specs):
+            x = PadConvRelu(filters, kernel_size=kernel, strides=stride,
+                            name=f'block{i}_conv')(x, train=train)
+            x = nn.LayerNorm(epsilon=norm_eps, name=f'block{i}_norm')(x)
+            for j in range(cells):
+                x = SearchCell(filters=filters, arch_desc=self.arch_desc,
+                               dropout_rate=self.cell_dropout,
+                               use_norm=self.use_norm,
+                               name=f'block{i}_cell{j}')(x, train=train)
+
+        if self.use_rnn:
+            if self.dropout_rate:
+                # Keras LSTM(dropout=r) drops the input transform with one
+                # mask shared across time (model/tf/model.py:87-88); the
+                # torch backend uses a plain pre-LSTM dropout
+                # (model/torch/model.py:98-100).  We use a time-shared mask.
+                x = nn.Dropout(self.dropout_rate, deterministic=not train,
+                               broadcast_dims=(1,))(x)
+            lstm = nn.RNN(nn.OptimizedLSTMCell(500), name='lstm')
+            x = lstm(x)
+
+        x = nn.Dense(self.num_classes + 1, name='head')(x.astype(jnp.float32))
+        return x
+
+
+def logits_length(feature_size, t_in, t_out):
+    """True output lengths from true input lengths, via the measured ratio.
+
+    Mirrors TF's ``get_logits_size`` (``training/tf/trainer.py:19-27``):
+    uses the observed time reduction rather than hard-coding ×4.
+    """
+    time_reduction = jnp.float32(t_in) / jnp.float32(t_out)
+    return (feature_size.astype(jnp.float32) / time_reduction).astype(jnp.int32)
+
+
+def get_model(arch_vec, use_rnn=True, dropout_rate=0.0, use_norm=True,
+              data_norm=None, num_classes=48, compute_dtype=jnp.float32, **_ignored):
+    """Reference-compatible model factory (``model/__init__.py:19-20``).
+
+    ``data_norm`` may be ``True`` (load the frozen TIMIT train stats),
+    a ``(mean, variance)`` pair, or ``None``.
+    """
+    if data_norm is True:
+        from ..data.pipeline import load_train_stats
+        data_norm = load_train_stats()
+    mean, var = (None, None) if data_norm is None else data_norm
+    return ASRModel.from_arch_vec(
+        arch_vec, num_classes=num_classes, use_rnn=use_rnn, use_norm=use_norm,
+        dropout_rate=dropout_rate,
+        data_mean=None if mean is None else tuple(float(v) for v in mean),
+        data_variance=None if var is None else tuple(float(v) for v in var),
+        compute_dtype=compute_dtype)
+
+
+def count_params(params):
+    """Total number of elements in a parameter pytree."""
+    import jax
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

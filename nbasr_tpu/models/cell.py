@@ -1,0 +1,76 @@
+"""Search cell: a small DAG of ops + identity skip branches.
+
+TPU-native re-implementation of the cell of NAS-Bench-ASR
+(reference ``model/tf/model.py:10-46`` / ``model/torch/model.py:7-59``).
+
+Semantics (canonical — matches the hash graph, the torch backend and the
+paper): node *i* computes ``op_i(prev)`` and adds ``inputs[j]`` for every
+branch bit ``b_ij == 1``; bit 0 means no connection.  The reference's
+shipped TF backend inverted the branch indexing (``model/tf/ops.py:87``,
+see SURVEY.md §2.2) — we deliberately do not reproduce that bug.
+
+Branches with bit 0 are *not* computed at all (the reference multiplies by
+zero at runtime; under XLA we simply don't emit the op, which also lets
+dead ``zero``-op nodes be pruned by DCE).
+"""
+
+from flax import linen as nn
+
+from .layers import PadConvRelu, LinearRelu, norm_eps
+
+__all__ = ['SearchCell', 'CELL_DROPOUT', 'make_op']
+
+#: Cell-op dropout is a constant 0.2 in the reference (tf/ops.py:60), not
+#: the model-level dropout flag (which only feeds the LSTM).
+CELL_DROPOUT = 0.2
+
+
+def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None):
+    """Instantiate a cell op by name (reference op table tf/ops.py:69-76)."""
+    convs = {
+        'conv5': dict(kernel_size=5, dilation=1),
+        'conv5d2': dict(kernel_size=5, dilation=2),
+        'conv7': dict(kernel_size=7, dilation=1),
+        'conv7d2': dict(kernel_size=7, dilation=2),
+    }
+    if op_name == 'linear':
+        return LinearRelu(filters, dropout_rate=dropout_rate, name=name)
+    if op_name in convs:
+        return PadConvRelu(filters, strides=1, groups=100,
+                           dropout_rate=dropout_rate, name=name, **convs[op_name])
+    if op_name == 'zero':
+        return None  # contributes nothing; handled by the caller
+    raise ValueError(f'Unknown op: {op_name!r}')
+
+
+class SearchCell(nn.Module):
+    """Nodes over a growing list of outputs, then LayerNorm.
+
+    ``arch_desc`` is the named form: ``[[op_name, b...], ...]`` (op indices
+    are translated by the model).  All 18 cells of the flagship model share
+    one ``arch_desc`` (reference ``model/tf/model.py:84-85``).
+    """
+
+    filters: int
+    arch_desc: tuple
+    dropout_rate: float = CELL_DROPOUT
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        outputs = [x]
+        for nidx, node in enumerate(self.arch_desc):
+            op_name, *branches = node
+            op = make_op(op_name, self.filters, self.dropout_rate,
+                         name=f'node{nidx}_{op_name}')
+            total = op(outputs[-1], train=train) if op is not None else None
+            for j, bit in enumerate(branches):
+                if bit:
+                    total = outputs[j] if total is None else total + outputs[j]
+            if total is None:  # zero op and no live branches
+                total = outputs[-1] * 0.0
+            outputs.append(total)
+        out = outputs[-1]
+        if self.use_norm:
+            out = nn.LayerNorm(epsilon=norm_eps, name='norm')(out)
+        return out
