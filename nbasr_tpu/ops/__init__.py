@@ -4,8 +4,14 @@ from .frontend import (
     FrontendConfig, mel_weight_matrix, log_mel_spectrogram, num_frames,
     frame_signal,
 )
+from .ctc import ctc_loss, normalized_ctc_loss, ctc_alignment_posteriors
+from .decode import greedy_decode, beam_search_decode
+from .edit_distance import edit_distance, error_rate
 
 __all__ = [
     'FrontendConfig', 'mel_weight_matrix', 'log_mel_spectrogram',
     'num_frames', 'frame_signal',
+    'ctc_loss', 'normalized_ctc_loss', 'ctc_alignment_posteriors',
+    'greedy_decode', 'beam_search_decode',
+    'edit_distance', 'error_rate',
 ]
