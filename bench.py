@@ -1,0 +1,75 @@
+"""Benchmark: flagship-model inference latency on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "inference_latency", "value": <seconds>, "unit": "s",
+   "vs_baseline": <baseline/ours>, ...extras}
+
+Baseline: the reference dataset's GTX 1080 Ti fp32 latency for the README
+arch [[1,0],[1,0,0],[1,0,0,0]] — 0.04320073127746582 s (README.md:61,
+BASELINE.md).  The measured configuration mirrors a typical full TIMIT
+utterance: batch 1, 500 feature frames (5 s of audio), fp32, LSTM head —
+the same model the latency tables benchmarked.
+
+Also measures training throughput (audio-seconds/s/chip) as a secondary
+metric included in the JSON extras.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from nbasr_tpu.models import get_model
+    from nbasr_tpu.data import get_dataloaders
+    from nbasr_tpu.training import get_loss, get_trainer
+
+    # --- inference latency (headline) ---
+    arch = [[1, 0], [1, 0, 0], [1, 0, 0, 0]]
+    model = get_model(arch, use_rnn=True, dropout_rate=0.2, data_norm=True)
+    B, T = 1, 500
+    feats = jnp.asarray(np.random.RandomState(0).randn(B, T, 80), jnp.float32)
+    sizes = jnp.asarray([T], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), feats, sizes, train=False)
+    fwd = jax.jit(lambda v, f, s: model.apply(v, f, s, train=False))
+    fwd(variables, feats, sizes).block_until_ready()  # compile
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        fwd(variables, feats, sizes).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    latency = float(np.median(times))
+
+    # --- training throughput (secondary) ---
+    loaders = get_dataloaders('synthetic:64', batch_size=32, curriculum=())
+    trainer = get_trainer(loaders, get_loss(), verbose=False,
+                          eval_decoder='greedy')
+    trainer.init_state(model, seed=0)
+    batch = next(iter(loaders[1]))
+    audio_seconds = float(batch['feature_size'].sum()) * 0.010
+    trainer.step(batch, training=True, lr=1e-4)  # compile
+    t0 = time.perf_counter()
+    n_steps = 10
+    for _ in range(n_steps):
+        trainer.step(batch, training=True, lr=1e-4)
+    jax.block_until_ready(trainer.state.params)
+    step_time = (time.perf_counter() - t0) / n_steps
+    throughput = audio_seconds / step_time
+
+    baseline = 0.04320073127746582  # GTX 1080 Ti fp32, README.md:61
+    print(json.dumps({
+        'metric': 'inference_latency',
+        'value': latency,
+        'unit': 's',
+        'vs_baseline': baseline / latency,
+        'train_audio_seconds_per_sec_per_chip': throughput,
+        'train_step_seconds': step_time,
+        'device': str(jax.devices()[0]),
+    }))
+
+
+if __name__ == '__main__':
+    main()

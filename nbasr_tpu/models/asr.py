@@ -48,6 +48,14 @@ class ASRModel(nn.Module):
     data_mean: tuple = None
     data_variance: tuple = None
     compute_dtype: jnp.dtype = jnp.float32
+    # macro-architecture knobs (reference defaults; overridable for scaled
+    # variants and fast tests — parity runs must keep the defaults)
+    block_kernels: tuple = _BLOCK_KERNELS
+    block_strides: tuple = _BLOCK_STRIDES
+    block_filters: tuple = _BLOCK_FILTERS
+    cells_per_block: tuple = _CELLS_PER_BLOCK
+    cell_groups: int = 100
+    rnn_units: int = 500
 
     @classmethod
     def from_arch_vec(cls, arch_vec, **kwargs):
@@ -68,7 +76,8 @@ class ASRModel(nn.Module):
                                  jnp.asarray(self.data_variance),
                                  name='data_norm')(x, mask=mask)
 
-        specs = zip(_BLOCK_KERNELS, _BLOCK_STRIDES, _BLOCK_FILTERS, _CELLS_PER_BLOCK)
+        specs = zip(self.block_kernels, self.block_strides, self.block_filters,
+                    self.cells_per_block)
         for i, (kernel, stride, filters, cells) in enumerate(specs):
             x = PadConvRelu(filters, kernel_size=kernel, strides=stride,
                             name=f'block{i}_conv')(x, train=train)
@@ -77,6 +86,7 @@ class ASRModel(nn.Module):
                 x = SearchCell(filters=filters, arch_desc=self.arch_desc,
                                dropout_rate=self.cell_dropout,
                                use_norm=self.use_norm,
+                               groups=self.cell_groups,
                                name=f'block{i}_cell{j}')(x, train=train)
 
         if self.use_rnn:
@@ -87,7 +97,7 @@ class ASRModel(nn.Module):
                 # (model/torch/model.py:98-100).  We use a time-shared mask.
                 x = nn.Dropout(self.dropout_rate, deterministic=not train,
                                broadcast_dims=(1,))(x)
-            lstm = nn.RNN(nn.OptimizedLSTMCell(500), name='lstm')
+            lstm = nn.RNN(nn.OptimizedLSTMCell(self.rnn_units), name='lstm')
             x = lstm(x)
 
         x = nn.Dense(self.num_classes + 1, name='head')(x.astype(jnp.float32))
@@ -105,11 +115,15 @@ def logits_length(feature_size, t_in, t_out):
 
 
 def get_model(arch_vec, use_rnn=True, dropout_rate=0.0, use_norm=True,
-              data_norm=None, num_classes=48, compute_dtype=jnp.float32, **_ignored):
+              data_norm=None, num_classes=48, compute_dtype=jnp.float32,
+              gpu=None, **overrides):
     """Reference-compatible model factory (``model/__init__.py:19-20``).
 
     ``data_norm`` may be ``True`` (load the frozen TIMIT train stats),
-    a ``(mean, variance)`` pair, or ``None``.
+    a ``(mean, variance)`` pair, or ``None``.  ``gpu`` is accepted for CLI
+    compatibility and ignored (device placement is jit/sharding-driven).
+    Extra keyword arguments override :class:`ASRModel` fields (e.g.
+    ``block_filters`` for scaled variants).
     """
     if data_norm is True:
         from ..data.pipeline import load_train_stats
@@ -120,7 +134,7 @@ def get_model(arch_vec, use_rnn=True, dropout_rate=0.0, use_norm=True,
         dropout_rate=dropout_rate,
         data_mean=None if mean is None else tuple(float(v) for v in mean),
         data_variance=None if var is None else tuple(float(v) for v in var),
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, **overrides)
 
 
 def count_params(params):

@@ -25,8 +25,12 @@ __all__ = ['SearchCell', 'CELL_DROPOUT', 'make_op']
 CELL_DROPOUT = 0.2
 
 
-def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None):
-    """Instantiate a cell op by name (reference op table tf/ops.py:69-76)."""
+def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100):
+    """Instantiate a cell op by name (reference op table tf/ops.py:69-76).
+
+    ``groups`` is 100 in the reference; it is configurable here so scaled
+    model variants (and fast tests) can use narrower cells.
+    """
     convs = {
         'conv5': dict(kernel_size=5, dilation=1),
         'conv5d2': dict(kernel_size=5, dilation=2),
@@ -36,7 +40,7 @@ def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None):
     if op_name == 'linear':
         return LinearRelu(filters, dropout_rate=dropout_rate, name=name)
     if op_name in convs:
-        return PadConvRelu(filters, strides=1, groups=100,
+        return PadConvRelu(filters, strides=1, groups=groups,
                            dropout_rate=dropout_rate, name=name, **convs[op_name])
     if op_name == 'zero':
         return None  # contributes nothing; handled by the caller
@@ -55,6 +59,7 @@ class SearchCell(nn.Module):
     arch_desc: tuple
     dropout_rate: float = CELL_DROPOUT
     use_norm: bool = True
+    groups: int = 100
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -62,7 +67,7 @@ class SearchCell(nn.Module):
         for nidx, node in enumerate(self.arch_desc):
             op_name, *branches = node
             op = make_op(op_name, self.filters, self.dropout_rate,
-                         name=f'node{nidx}_{op_name}')
+                         name=f'node{nidx}_{op_name}', groups=self.groups)
             total = op(outputs[-1], train=train) if op is not None else None
             for j, bit in enumerate(branches):
                 if bit:

@@ -1,0 +1,68 @@
+"""Mesh-parallel trainer: DP over the batch axis + TP over wide channels.
+
+Extends :class:`nbasr_tpu.training.trainer.Trainer` by *placement only*:
+the step functions are identical; the train state is placed with
+``NamedSharding`` annotations (params/optimizer moments sharded on the
+``'model'`` axis, see ``mesh.param_spec``) and batches are placed with the
+batch axis on ``'data'``.  ``jax.jit`` + GSPMD then compiles one SPMD
+program whose gradient reductions ride the mesh's ICI links — there is no
+hand-written collective anywhere (SURVEY.md §2.6's design note).
+
+Multi-host use: initialise ``jax.distributed``, build the mesh over
+``jax.devices()`` (all hosts), and give each process a disjoint data shard
+via the loader's ``num_shards=jax.process_count(),
+shard_index=jax.process_index()``.
+"""
+
+import jax
+
+from ..training.trainer import Trainer
+from .mesh import batch_shardings, make_mesh, param_spec
+
+__all__ = ['ParallelTrainer', 'get_parallel_trainer']
+
+
+class ParallelTrainer(Trainer):
+    """Trainer whose state/batches live on a ('data', 'model') mesh."""
+
+    def __init__(self, dataloaders, loss=None, mesh=None, dp=None, tp=1,
+                 **kwargs):
+        super().__init__(dataloaders, loss, **kwargs)
+        self.mesh = mesh if mesh is not None else make_mesh(dp=dp, tp=tp)
+
+    def _state_shardings(self, state):
+        from jax.sharding import NamedSharding
+        tp = self.mesh.shape['model']
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: NamedSharding(self.mesh, param_spec(path, leaf, tp)),
+            state)
+
+    def _place_state(self, state):
+        return jax.device_put(state, self._state_shardings(state))
+
+    def _put_batch(self, batch):
+        import numpy as np
+        dp = self.mesh.shape['data']
+        rows = next(iter(batch.values())).shape[0]
+        pad = (-rows) % dp
+        if pad:
+            # pad with zero rows (valid=0 ⇒ they contribute nothing to loss
+            # or metrics) so the batch axis shards evenly over 'data'
+            batch = {k: np.concatenate(
+                [np.asarray(v),
+                 np.zeros((pad,) + np.asarray(v).shape[1:], np.asarray(v).dtype)])
+                for k, v in batch.items()}
+        spec = batch_shardings(self.mesh)
+        return {k: jax.device_put(jax.numpy.asarray(v), spec(jax.numpy.asarray(v)))
+                for k, v in batch.items()}
+
+    # jit hooks: plain jit — input placements drive GSPMD partitioning.
+    def _jit_train_step(self, fn):
+        return jax.jit(fn, donate_argnums=0)
+
+    def _jit_eval_step(self, fn):
+        return jax.jit(fn, donate_argnums=2)
+
+
+def get_parallel_trainer(dataloaders, loss=None, **kwargs):
+    return ParallelTrainer(dataloaders, loss, **kwargs)

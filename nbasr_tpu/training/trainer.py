@@ -1,0 +1,363 @@
+"""Single-program trainer: jitted train/eval steps, checkpoints, metrics.
+
+TPU-native re-implementation of the reference trainers
+(``training/tf/trainer.py:56-517``, ``training/torch/trainer.py:47-264``)
+as a functional core (pure jitted step functions over an explicit
+``TrainState``) plus a thin host loop with the reference's API surface:
+``train / step / save / load / remember_best / recall_best``.
+
+Recipe parity (BASELINE.md): Adam(lr, eps=1e-7), grad-clip 5.0 (before
+Adam), lr ×0.9 per epoch from epoch 5, conv-kernel L2 0.01, beam-width-12
+eval decoding, best-on-val-LER checkpointing with auto-resume, final test
+evaluation on the best weights, ``scores.pickle``/``test_scores.pickle``
+artifacts.
+
+Differences by design:
+  - The audio frontend runs *inside* the jitted step (log-mel on TPU, fused
+    by XLA) instead of a host tf.data pipeline.
+  - NaN handling: ``optax.apply_if_finite`` skips non-finite updates and
+    counts them (surfaced per epoch; ``strict_numerics=True`` raises),
+    replacing per-tensor ``check_numerics`` crashes (``trainer.py:439-450``).
+  - Metrics accumulate on-device as (num, den) pairs (see metrics.py) — one
+    host transfer per epoch, not per step.
+"""
+
+import json
+import pathlib
+import pickle
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+from flax import struct
+
+from ..data.phonemes import PhonemeEncoder
+from ..models.asr import logits_length
+from ..ops.frontend import FrontendConfig, log_mel_spectrogram, mel_weight_matrix
+from ..ops.decode import greedy_decode, beam_search_decode
+from ..ops.edit_distance import edit_distance
+from .loss import conv_l2, get_loss
+from .metrics import accumulate, ratios, zeros_like_metrics
+
+__all__ = ['Trainer', 'TrainState', 'get_trainer', 'lr_at_epoch']
+
+
+def lr_at_epoch(base_lr, epoch, decay=0.9, start_epoch=5):
+    """lr for 1-based ``epoch``: ×decay per epoch once epoch > start_epoch.
+
+    Matches the reference callback (``callbacks/lrscheduler.py:37-60``):
+    the first decay is applied at the *end* of ``start_epoch``.
+    """
+    return base_lr * decay ** max(0, epoch - start_epoch)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    opt_state: object
+    metrics: dict
+    rng: jax.Array
+
+
+class Trainer:
+    """Reference-API trainer over one device (meshes: see parallel.train_parallel)."""
+
+    def __init__(self, dataloaders, loss=None, devices=None, save_dir=None,
+                 verbose=True, frontend=None, eval_decoder='beam',
+                 beam_width=12, strict_numerics=False, decay=0.9,
+                 decay_start_epoch=5, clip_norm=5.0, adam_eps=1e-7):
+        encoder, data_train, data_validate, data_test = dataloaders
+        self.encoder = encoder
+        self.data_train = data_train
+        self.data_validate = data_validate
+        self.data_test = data_test
+        self.loss = loss or get_loss()
+        self.save_dir = pathlib.Path(save_dir) if save_dir else None
+        if self.save_dir:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.verbose = verbose
+        self.frontend = frontend or FrontendConfig()
+        self.mel_mat = mel_weight_matrix(
+            self.frontend.num_mel_bins, self.frontend.num_bins,
+            self.frontend.sample_rate, self.frontend.lower_hz,
+            self.frontend.upper_hz)
+        self.eval_decoder = eval_decoder
+        self.beam_width = beam_width
+        self.strict_numerics = strict_numerics
+        self.decay = decay
+        self.decay_start_epoch = decay_start_epoch
+        self.clip_norm = clip_norm
+        self.adam_eps = adam_eps
+
+        if isinstance(encoder, PhonemeEncoder):
+            self.fold_table = jnp.asarray(encoder.fold_table(39))
+        else:
+            self.fold_table = None
+
+        self.model = None
+        self.optimizer = None
+        self.state = None
+        self._best_weights = None
+        self._stats = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    # functional core
+    # ------------------------------------------------------------------
+
+    def _features(self, batch):
+        feats = log_mel_spectrogram(batch['audio'], self.frontend, self.mel_mat)
+        return feats, batch['feature_size']
+
+    def _variables(self, params):
+        return {'params': params, **({'stats': self._stats} if self._stats else {})}
+
+    def _build_steps(self):
+        model, loss_fn = self.model, self.loss
+        fold = self.fold_table
+
+        def train_step(state, batch, lr):
+            rng = jax.random.fold_in(state.rng, state.step)
+            feats, fsize = self._features(batch)
+
+            def inner(params):
+                logits = model.apply(self._variables(params), feats, fsize,
+                                     train=True, rngs={'dropout': rng})
+                lsize = logits_length(fsize, feats.shape[1], logits.shape[1])
+                m = {}
+                ctc = loss_fn(logits, lsize, batch['labels'],
+                              batch['label_size'], metrics=m,
+                              valid=batch['valid'])
+                return ctc + conv_l2(params), m
+
+            (_, m), grads = jax.value_and_grad(inner, has_aux=True)(state.params)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+            params = optax.apply_updates(state.params, updates)
+            metrics = accumulate(state.metrics, m)
+            return state.replace(step=state.step + 1, params=params,
+                                 opt_state=opt_state, metrics=metrics)
+
+        def eval_step(params, batch, acc):
+            feats, fsize = self._features(batch)
+            logits = model.apply(self._variables(params), feats, fsize,
+                                 train=False)
+            lsize = logits_length(fsize, feats.shape[1], logits.shape[1])
+            m = {}
+            loss_fn(logits, lsize, batch['labels'], batch['label_size'],
+                    metrics=m, valid=batch['valid'])
+            if self.eval_decoder == 'beam':
+                hyp, hyp_len = beam_search_decode(logits, lsize,
+                                                  beam_width=self.beam_width)
+            else:
+                hyp, hyp_len = greedy_decode(logits, lsize)
+            valid = batch['valid']
+            # WER: p48 tokens (pre-fold), reference trainer.py:506-507
+            wer_num = edit_distance(hyp, hyp_len, batch['labels'],
+                                    batch['label_size']) * valid
+            wer_den = batch['label_size'].astype(jnp.float32) * valid
+            # LER: p39-folded ids, reference trainer.py:502-510
+            if fold is not None:
+                ref39 = fold[batch['labels']]
+                hyp39 = fold[jnp.clip(hyp, 0, fold.shape[0] - 1)]
+            else:
+                ref39, hyp39 = batch['labels'], hyp
+            ler_num = edit_distance(hyp39, hyp_len, ref39,
+                                    batch['label_size']) * valid
+            ler_den = batch['label_size'].astype(jnp.float32) * valid
+            m['wer'] = (wer_num.sum(), wer_den.sum())
+            m['ler'] = (ler_num.sum(), ler_den.sum())
+            return accumulate(acc, m)
+
+        self._train_step = self._jit_train_step(train_step)
+        self._eval_step = self._jit_eval_step(eval_step)
+
+    # Overridable jit/placement hooks (ParallelTrainer shards here).
+    def _jit_train_step(self, fn):
+        return jax.jit(fn, donate_argnums=0)
+
+    def _jit_eval_step(self, fn):
+        return jax.jit(fn, donate_argnums=2)
+
+    def _put_batch(self, batch):
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _place_state(self, state):
+        return state
+
+    # ------------------------------------------------------------------
+    # reference API
+    # ------------------------------------------------------------------
+
+    def init_state(self, model, seed=0, sample_batch=None):
+        """Initialise params/optimizer; usable standalone (tests, sweeps)."""
+        self.model = model
+        batch = sample_batch or next(iter(self.data_validate))
+        feats, fsize = self._features({k: jnp.asarray(v) for k, v in batch.items()})
+        variables = model.init(jax.random.PRNGKey(seed), feats,
+                               jnp.asarray(fsize), train=False)
+        self._stats = variables.get('stats')
+        self.optimizer = optax.apply_if_finite(
+            optax.chain(
+                optax.clip_by_global_norm(self.clip_norm),
+                optax.scale_by_adam(eps=self.adam_eps),
+                optax.scale(-1.0),
+            ), max_consecutive_errors=1 << 30)
+        params = variables['params']
+        self.state = TrainState(
+            step=jnp.int32(0), params=params,
+            opt_state=self.optimizer.init(params),
+            metrics=zeros_like_metrics(('ctc_loss',)),
+            rng=jax.random.PRNGKey(seed + 1))
+        self.state = self._place_state(self.state)
+        self._build_steps()
+        return self.state
+
+    def train(self, model, epochs=40, lr=0.0001, reset=False, model_name=None,
+              seed=0):
+        """Full training run; writes scores.pickle / test_scores.pickle.
+
+        Returns ``(history, test_scores)``.
+        """
+        self.init_state(model, seed=seed)
+
+        out_dir = None
+        latest_ckpt = best_ckpt = None
+        start_epoch, best_val = 1, None
+        if self.save_dir is not None:
+            out_dir = self.save_dir / model_name if model_name else self.save_dir
+            out_dir.mkdir(parents=True, exist_ok=True)
+            latest_ckpt = out_dir / 'latest.ckpt'
+            best_ckpt = out_dir / 'best.ckpt'
+            if reset:
+                for f in (latest_ckpt, best_ckpt):
+                    if f.exists():
+                        f.unlink()
+            else:
+                if best_ckpt.exists():
+                    self.load(best_ckpt)
+                    self.remember_best()
+                if latest_ckpt.exists():
+                    meta = self.load(latest_ckpt)
+                    start_epoch = meta.get('epoch', 0) + 1
+                    best_val = meta.get('best_val')
+
+        history = {'ctc_loss': [], 'val_ctc_loss': [], 'val_wer': [],
+                   'val_ler': [], 'lr': [], 'nonfinite_steps': [],
+                   'epoch_seconds': []}
+        steps_per_epoch = self.data_train.steps
+
+        def forever(loader):
+            # CurriculumStream iterators are already infinite; bare Loaders
+            # yield one epoch per pass and must be cycled (reshuffling).
+            while True:
+                yield from loader
+
+        stream = (iter(self.data_train) if hasattr(self.data_train, 'full')
+                  else forever(self.data_train))
+
+        for epoch in range(start_epoch, epochs + 1):
+            t0 = time.time()
+            epoch_lr = lr_at_epoch(lr, epoch, self.decay, self.decay_start_epoch)
+            self.state = self.state.replace(
+                metrics=zeros_like_metrics(('ctc_loss',)))
+            for _ in range(steps_per_epoch):
+                batch = self._put_batch(next(stream))
+                self.state = self._train_step(self.state, batch,
+                                              jnp.float32(epoch_lr))
+            train_m = ratios(self.state.metrics)
+            notfinite = int(self.state.opt_state.notfinite_count)
+            if notfinite and self.strict_numerics:
+                raise FloatingPointError(
+                    f'{notfinite} non-finite update(s) by epoch {epoch}')
+
+            val_m = self.evaluate(self.data_validate)
+            history['ctc_loss'].append(train_m['ctc_loss'])
+            history['val_ctc_loss'].append(val_m['ctc_loss'])
+            history['val_wer'].append(val_m['wer'])
+            history['val_ler'].append(val_m['ler'])
+            history['lr'].append(epoch_lr)
+            history['nonfinite_steps'].append(notfinite)
+            history['epoch_seconds'].append(time.time() - t0)
+
+            if best_val is None or val_m['ler'] <= best_val:
+                best_val = val_m['ler']
+                self.remember_best()
+                if best_ckpt:
+                    self.save(best_ckpt, epoch=epoch, best_val=best_val)
+            if latest_ckpt:
+                self.save(latest_ckpt, epoch=epoch, best_val=best_val)
+            if self.verbose:
+                print(f'Epoch {epoch}: loss {train_m["ctc_loss"]:.4f} '
+                      f'val_loss {val_m["ctc_loss"]:.4f} '
+                      f'val_per {val_m["ler"]:.4f} lr {epoch_lr:.2e} '
+                      f'({history["epoch_seconds"][-1]:.1f}s)')
+
+        self.recall_best()
+        test_m = self.evaluate(self.data_test)
+        test_scores = {f'val_{k}': v for k, v in test_m.items()}
+        if self.verbose:
+            print('Test:', test_scores)
+
+        if out_dir:
+            with open(out_dir / 'scores.pickle', 'wb') as f:
+                pickle.dump(history, f)
+            with open(out_dir / 'test_scores.pickle', 'wb') as f:
+                pickle.dump(test_scores, f)
+        return history, test_scores
+
+    def evaluate(self, loader):
+        """Run eval over a loader; returns {'ctc_loss', 'wer', 'ler'} ratios."""
+        acc = zeros_like_metrics()
+        for batch in loader:
+            batch = self._put_batch(batch)
+            acc = self._eval_step(self.state.params, batch, acc)
+        return ratios(acc)
+
+    def step(self, batch, training=True, lr=1e-4):
+        """Single step on a batch (reference Trainer.step contract)."""
+        batch = self._put_batch(batch)
+        if training:
+            self.state = self._train_step(self.state, batch, jnp.float32(lr))
+            return ratios(self.state.metrics)
+        return ratios(self._eval_step(self.state.params, batch,
+                                      zeros_like_metrics()))
+
+    # -- checkpointing (weights + optimizer, auto-resume) ---------------
+
+    def save(self, path, **meta):
+        path = pathlib.Path(path)
+        payload = {'params': self.state.params, 'opt_state': self.state.opt_state,
+                   'step': self.state.step, 'rng': self.state.rng}
+        path.write_bytes(serialization.to_bytes(payload))
+        path.with_suffix(path.suffix + '.json').write_text(json.dumps(meta))
+
+    def load(self, path):
+        path = pathlib.Path(path)
+        target = {'params': self.state.params, 'opt_state': self.state.opt_state,
+                  'step': self.state.step, 'rng': self.state.rng}
+        restored = serialization.from_bytes(target, path.read_bytes())
+        self.state = self.state.replace(
+            params=restored['params'], opt_state=restored['opt_state'],
+            step=jnp.asarray(restored['step']), rng=jnp.asarray(restored['rng']))
+        meta_file = path.with_suffix(path.suffix + '.json')
+        return json.loads(meta_file.read_text()) if meta_file.exists() else {}
+
+    def remember_best(self):
+        self._best_weights = jax.tree_util.tree_map(np.asarray, self.state.params)
+
+    def recall_best(self):
+        if self._best_weights is not None:
+            self.state = self.state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, self._best_weights))
+
+
+def get_trainer(dataloaders, loss=None, devices=None, save_dir=None,
+                verbose=True, **kwargs):
+    return Trainer(dataloaders, loss, devices=devices, save_dir=save_dir,
+                   verbose=verbose, **kwargs)

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Train one NAS-Bench-ASR architecture (reference-compatible CLI).
+
+Usage (same 9-int arch vector + flags as the reference ``train.py:8-22``):
+
+    python train.py 1 0 1 0 0 1 0 0 0 --batch_size 64 --epochs 40 \
+        --data TIMIT --lr 1e-4 --dropout 0.2 --seed 1235
+
+Extras over the reference: ``--data synthetic[:N]`` for the built-in fake
+corpus, ``--dp/--tp`` for mesh parallelism, ``--decoder greedy|beam``.
+"""
+
+import argparse
+import pathlib
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('model', type=int, nargs=9,
+                        help='arch vector: 2 + 3 + 4 ints')
+    parser.add_argument('--batch_size', type=int, default=64)
+    parser.add_argument('--epochs', type=int, default=40)
+    parser.add_argument('--data', type=str, default='TIMIT')
+    parser.add_argument('--rnn', type=lambda s: s not in ('0', 'false', 'False'),
+                        default=True)
+    parser.add_argument('--exp_folder', type=str, default='results')
+    parser.add_argument('--exp_name', type=str, default=None)
+    parser.add_argument('--backend', type=str, default=None,
+                        help='compatibility flag; only "jax" is valid')
+    parser.add_argument('--lr', type=float, default=0.0001)
+    parser.add_argument('--dropout', type=float, default=0.2)
+    parser.add_argument('--gpus', type=int, nargs='+', default=None,
+                        help='compatibility alias for --devices')
+    parser.add_argument('--dp', type=int, default=None,
+                        help='data-parallel mesh size (default: single device)')
+    parser.add_argument('--tp', type=int, default=1,
+                        help='tensor-parallel mesh size')
+    parser.add_argument('--decoder', type=str, default='beam',
+                        choices=['beam', 'greedy'])
+    parser.add_argument('--reset', action='store_true')
+    parser.add_argument('--seed', type=int, default=1235)
+    parser.add_argument('--platform', type=str, default=None,
+                        help="force a jax platform (e.g. 'cpu'); default: auto")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+
+    import nbasr_tpu
+    from nbasr_tpu.training import get_dataloaders, get_loss
+
+    arch = [args.model[0:2], args.model[2:5], args.model[5:9]]
+    if not args.exp_name:
+        flat = '_'.join(map(str, args.model))
+        args.exp_name = f'{flat}_b{args.batch_size}_rnn{int(args.rnn)}'
+
+    nbasr_tpu.set_default_backend(args.backend)
+    nbasr_tpu.set_seed(args.seed)
+
+    print(f'Using backend: {nbasr_tpu.get_backend_name()}')
+    print(f'    Model vec: {arch}')
+    print(f'    Training for {args.epochs} epochs, batch {args.batch_size}, '
+          f'lr {args.lr}, dropout {args.dropout}')
+
+    results_folder = pathlib.Path(args.exp_folder) / 'jax'
+    dataloaders = get_dataloaders(args.data, batch_size=args.batch_size)
+    loss = get_loss()
+    model = nbasr_tpu.get_model(arch, use_rnn=args.rnn,
+                                dropout_rate=args.dropout, data_norm=True)
+
+    if args.dp or args.tp > 1:
+        from nbasr_tpu.parallel import ParallelTrainer, make_mesh
+        trainer = ParallelTrainer(dataloaders, loss,
+                                  mesh=make_mesh(dp=args.dp, tp=args.tp),
+                                  save_dir=results_folder,
+                                  eval_decoder=args.decoder)
+    else:
+        trainer = nbasr_tpu.get_trainer(dataloaders, loss,
+                                        save_dir=results_folder,
+                                        eval_decoder=args.decoder)
+    trainer.train(model, epochs=args.epochs, lr=args.lr, reset=args.reset,
+                  model_name=args.exp_name, seed=args.seed)
+
+
+if __name__ == '__main__':
+    main()
