@@ -56,6 +56,10 @@ class ASRModel(nn.Module):
     cells_per_block: tuple = _CELLS_PER_BLOCK
     cell_groups: int = 100
     rnn_units: int = 500
+    #: 'reference' (faithful Keras/torch glorot — see layers.PadConvRelu
+    #: note about init-time activation collapse) or 'scaled'
+    #: (variance-preserving; recommended with bfloat16).
+    init_scheme: str = 'reference'
 
     @classmethod
     def from_arch_vec(cls, arch_vec, **kwargs):
@@ -80,6 +84,7 @@ class ASRModel(nn.Module):
                     self.cells_per_block)
         for i, (kernel, stride, filters, cells) in enumerate(specs):
             x = PadConvRelu(filters, kernel_size=kernel, strides=stride,
+                            init_scheme=self.init_scheme,
                             name=f'block{i}_conv')(x, train=train)
             x = nn.LayerNorm(epsilon=norm_eps, name=f'block{i}_norm')(x)
             for j in range(cells):
@@ -87,6 +92,7 @@ class ASRModel(nn.Module):
                                dropout_rate=self.cell_dropout,
                                use_norm=self.use_norm,
                                groups=self.cell_groups,
+                               init_scheme=self.init_scheme,
                                name=f'block{i}_cell{j}')(x, train=train)
 
         if self.use_rnn:
@@ -97,10 +103,13 @@ class ASRModel(nn.Module):
                 # (model/torch/model.py:98-100).  We use a time-shared mask.
                 x = nn.Dropout(self.dropout_rate, deterministic=not train,
                                broadcast_dims=(1,))(x)
-            lstm = nn.RNN(nn.OptimizedLSTMCell(self.rnn_units), name='lstm')
-            x = lstm(x)
+            from .lstm import FastLSTM
+            x = FastLSTM(self.rnn_units, compute_dtype=self.compute_dtype,
+                         name='lstm')(x)
 
-        x = nn.Dense(self.num_classes + 1, name='head')(x.astype(jnp.float32))
+        x = nn.Dense(self.num_classes + 1, name='head',
+                     kernel_init=nn.initializers.xavier_uniform())(
+                         x.astype(jnp.float32))
         return x
 
 

@@ -25,7 +25,8 @@ __all__ = ['SearchCell', 'CELL_DROPOUT', 'make_op']
 CELL_DROPOUT = 0.2
 
 
-def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100):
+def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100,
+            init_scheme='reference'):
     """Instantiate a cell op by name (reference op table tf/ops.py:69-76).
 
     ``groups`` is 100 in the reference; it is configurable here so scaled
@@ -38,10 +39,12 @@ def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100):
         'conv7d2': dict(kernel_size=7, dilation=2),
     }
     if op_name == 'linear':
-        return LinearRelu(filters, dropout_rate=dropout_rate, name=name)
+        return LinearRelu(filters, dropout_rate=dropout_rate, name=name,
+                          init_scheme=init_scheme)
     if op_name in convs:
         return PadConvRelu(filters, strides=1, groups=groups,
-                           dropout_rate=dropout_rate, name=name, **convs[op_name])
+                           dropout_rate=dropout_rate, name=name,
+                           init_scheme=init_scheme, **convs[op_name])
     if op_name == 'zero':
         return None  # contributes nothing; handled by the caller
     raise ValueError(f'Unknown op: {op_name!r}')
@@ -60,6 +63,7 @@ class SearchCell(nn.Module):
     dropout_rate: float = CELL_DROPOUT
     use_norm: bool = True
     groups: int = 100
+    init_scheme: str = 'reference'
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -67,7 +71,8 @@ class SearchCell(nn.Module):
         for nidx, node in enumerate(self.arch_desc):
             op_name, *branches = node
             op = make_op(op_name, self.filters, self.dropout_rate,
-                         name=f'node{nidx}_{op_name}', groups=self.groups)
+                         name=f'node{nidx}_{op_name}', groups=self.groups,
+                         init_scheme=self.init_scheme)
             total = op(outputs[-1], train=train) if op is not None else None
             for j, bit in enumerate(branches):
                 if bit:

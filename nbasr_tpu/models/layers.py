@@ -18,6 +18,7 @@ convs tile directly onto the MXU without transposes.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -53,7 +54,25 @@ def conv_padding(kernel_size, dilation, strides, context=FUTURE_CONTEXT):
 
 
 class PadConvRelu(nn.Module):
-    """Pad → grouped Conv1D → clip-ReLU(20) → dropout."""
+    """Pad → grouped Conv1D → clip-ReLU(20) → dropout.
+
+    TPU performance note: the reference's cell convs use ``groups=100``
+    with only 6–12 channels per group (``model/tf/ops.py:69-76``), which
+    maps poorly onto the 128-lane MXU (each group's matmul pads 6 → 128
+    lanes).  Three implementations are provided; measured on a v5e with the
+    flagship model (B=32, ~470 frames, full train step):
+
+      - ``'native'``  — XLA ``feature_group_count`` conv: 95 ms/step,
+      - ``'masked_dense'`` — dense conv with a block-diagonal-masked kernel
+        (mathematically identical, 100× redundant FLOPs on the MXU):
+        139 ms/step — the FLOP overhead loses to the layout win,
+      - a Pallas kernel with groups on the VPU lane axis (see
+        ops/grouped_conv.py) — the intended fast path.
+
+    ``grouped_impl='auto'`` currently selects ``'native'``; parameters are
+    stored in the compact grouped layout for every impl, so checkpoints and
+    param counts are unaffected by the choice.
+    """
 
     filters: int
     kernel_size: int
@@ -61,19 +80,68 @@ class PadConvRelu(nn.Module):
     dilation: int = 1
     groups: int = 1
     dropout_rate: float = 0.0
+    grouped_impl: str = 'auto'  # 'auto' | 'native' | 'masked_dense'
+    #: 'reference' = Keras/torch glorot with their (all-groups) fan_out —
+    #: faithful to the reference, but NB: on grouped convs this shrinks
+    #: activations ~10x per layer and the network starts numerically
+    #: collapsed (still trains in f32, underflows in bf16).
+    #: 'scaled' = per-group variance-preserving (lecun on true fan_in).
+    init_scheme: str = 'reference'
+
+    def _kernel_init(self):
+        # On the compact grouped shape [K, cin, filters] flax computes
+        # fan_in = K*cin (true per-group) and fan_out = K*filters
+        # (all groups) — exactly the fans Keras/torch use, so
+        # xavier_uniform here reproduces the reference init bit-for-bit
+        # in distribution, and fan_in-scaling gives variance preservation.
+        if self.init_scheme == 'scaled':
+            return nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
+        return nn.initializers.xavier_uniform()
+
+    def _use_masked_dense(self, in_features):
+        if self.groups == 1:
+            return False
+        if self.grouped_impl == 'native':
+            return False
+        if self.grouped_impl == 'masked_dense':
+            return True
+        return False  # 'auto': native XLA grouped conv (see class docstring)
 
     @nn.compact
     def __call__(self, x, train=False):
         lpad, rpad = conv_padding(self.kernel_size, self.dilation, self.strides)
-        x = nn.Conv(
-            features=self.filters,
-            kernel_size=(self.kernel_size,),
-            strides=(self.strides,),
-            kernel_dilation=(self.dilation,),
-            feature_group_count=self.groups,
-            padding=[(lpad, rpad)],
-            name='conv',
-        )(x)
+        in_features = x.shape[-1]
+        if self._use_masked_dense(in_features):
+            cin = in_features // self.groups
+            cout = self.filters // self.groups
+            kernel = self.param(
+                'conv_kernel_grouped', self._kernel_init(),
+                (self.kernel_size, cin, self.filters), jnp.float32)
+            bias = self.param('conv_bias', nn.initializers.zeros,
+                              (self.filters,), jnp.float32)
+            # expand [K, cin, G*cout] -> block-diagonal dense [K, G*cin, G*cout]
+            eye = jnp.eye(self.groups, dtype=kernel.dtype)
+            kg = kernel.reshape(self.kernel_size, cin, self.groups, cout)
+            dense = jnp.einsum('kcgd,gh->khcgd', kg, eye).reshape(
+                self.kernel_size, in_features, self.filters)
+            y = jax.lax.conv_general_dilated(
+                x, dense.astype(x.dtype),
+                window_strides=(self.strides,),
+                padding=[(lpad, rpad)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=('NWC', 'WIO', 'NWC'))
+            x = y + bias.astype(y.dtype)
+        else:
+            x = nn.Conv(
+                features=self.filters,
+                kernel_size=(self.kernel_size,),
+                strides=(self.strides,),
+                kernel_dilation=(self.dilation,),
+                feature_group_count=self.groups,
+                padding=[(lpad, rpad)],
+                kernel_init=self._kernel_init(),
+                name='conv',
+            )(x)
         x = relu20(x)
         if self.dropout_rate:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
@@ -85,10 +153,14 @@ class LinearRelu(nn.Module):
 
     filters: int
     dropout_rate: float = 0.0
+    init_scheme: str = 'reference'
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Dense(self.filters, name='dense')(x)
+        init = (nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
+                if self.init_scheme == 'scaled'
+                else nn.initializers.xavier_uniform())
+        x = nn.Dense(self.filters, name='dense', kernel_init=init)(x)
         x = relu20(x)
         if self.dropout_rate:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

@@ -21,11 +21,17 @@ L2_COEFF = 0.01
 
 
 def conv_l2(params):
-    """0.01 * sum of squared conv kernels (every PadConvRelu conv)."""
+    """0.01 * sum of squared conv kernels (every PadConvRelu conv).
+
+    Matches both conv-param layouts: the native ``.../conv/kernel`` and the
+    MXU masked-dense ``.../conv_kernel_grouped`` (see models/layers.py).
+    """
     total = 0.0
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         names = [getattr(p, 'key', getattr(p, 'name', '')) for p in path]
-        if 'conv' in names and names[-1] == 'kernel':
+        is_conv = ('conv' in names and names[-1] == 'kernel') or \
+            names[-1] == 'conv_kernel_grouped'
+        if is_conv:
             total = total + jnp.sum(jnp.square(leaf))
     return L2_COEFF * total
 

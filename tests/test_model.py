@@ -109,7 +109,9 @@ def test_masking_zeroes_padded_frames():
 
 
 def test_dropout_active_only_in_train():
-    m = get_model(GOLDEN_ARCH, use_rnn=False)
+    # 'scaled' init keeps activations alive; the faithful 'reference' init
+    # collapses them below dropout visibility (see test_reference_init_collapse)
+    m = get_model(GOLDEN_ARCH, use_rnn=False, init_scheme='scaled')
     variables, x, sizes = _init(m, T=16)
     x = jax.random.normal(jax.random.PRNGKey(1), x.shape)
     y1 = m.apply(variables, x, sizes, train=False)
@@ -139,12 +141,14 @@ def _load_ref_torch_cell():
     return sys.modules['_ref_torch_model.ops'], sys.modules['_ref_torch_model.model']
 
 
+@pytest.mark.parametrize('impl', ['native', 'masked_dense'])
 @pytest.mark.parametrize('op_name,kernel,dilation', [
     ('conv5', 5, 1), ('conv5d2', 5, 2), ('conv7', 7, 1), ('conv7d2', 7, 2),
 ])
-def test_conv_op_parity_with_torch_reference(op_name, kernel, dilation):
+def test_conv_op_parity_with_torch_reference(op_name, kernel, dilation, impl):
     """Bit-for-bit (fp32 tolerance) parity of a grouped conv op against the
-    reference torch implementation with transplanted weights."""
+    reference torch implementation with transplanted weights, for every
+    grouped-conv implementation."""
     import torch
     ref_ops, _ = _load_ref_torch_cell()
     C, T, B = 100, 24, 2
@@ -154,15 +158,35 @@ def test_conv_op_parity_with_torch_reference(op_name, kernel, dilation):
 
     from nbasr_tpu.models.layers import PadConvRelu
     jmodel = PadConvRelu(C, kernel_size=kernel, dilation=dilation, strides=1,
-                         groups=100, dropout_rate=0)
+                         groups=100, dropout_rate=0, grouped_impl=impl)
     x = np.random.RandomState(0).randn(B, T, C).astype(np.float32)
-    variables = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
     # transplant torch weights: torch conv weight [out, in/groups, k] ->
-    # flax [k, in/groups, out]
-    w = tmodel.conv.weight.detach().numpy().transpose(2, 1, 0)
-    b = tmodel.conv.bias.detach().numpy()
-    variables = {'params': {'conv': {'kernel': jnp.asarray(w), 'bias': jnp.asarray(b)}}}
+    # compact grouped layout [k, in/groups, out] (shared by all impls)
+    w = jnp.asarray(tmodel.conv.weight.detach().numpy().transpose(2, 1, 0))
+    b = jnp.asarray(tmodel.conv.bias.detach().numpy())
+    if impl == 'masked_dense':
+        variables = {'params': {'conv_kernel_grouped': w, 'conv_bias': b}}
+    else:
+        variables = {'params': {'conv': {'kernel': w, 'bias': b}}}
     ours = np.asarray(jmodel.apply(variables, jnp.asarray(x)))
     with torch.no_grad():
         theirs = tmodel(torch.from_numpy(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_reference_init_collapse_documented():
+    """The reference's glorot init on 100-group convs shrinks activations
+    ~10x per conv (Keras/torch compute fan_out over ALL groups); with the
+    default 'reference' scheme the untrained full model outputs collapse
+    toward zero, exactly as the reference backends do at init.  'scaled'
+    init keeps them alive (recommended for bf16)."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 80))
+    m_ref = get_model(GOLDEN_ARCH, use_rnn=False)
+    v = m_ref.init(jax.random.PRNGKey(0), x)
+    y_ref = m_ref.apply(v, x)
+    assert float(jnp.abs(y_ref).max()) < 1e-20  # collapsed (reference-faithful)
+
+    m_sc = get_model(GOLDEN_ARCH, use_rnn=False, init_scheme='scaled')
+    v = m_sc.init(jax.random.PRNGKey(0), x)
+    y_sc = m_sc.apply(v, x)
+    assert float(jnp.abs(y_sc).max()) > 1e-3  # alive

@@ -29,7 +29,7 @@ def test_micro_sweep_round_trip(tmp_path):
     archs = [[[1, 0], [0, 0, 0], [1, 0, 0, 0]],
              [[0, 0], [1, 0, 1], [2, 0, 0, 1]]]
     tiny = dict(block_filters=(8, 8, 8, 8), cells_per_block=(1, 1, 1, 1),
-                cell_groups=2, rnn_units=8)
+                cell_groups=2, rnn_units=8, init_scheme='scaled')
     paths = run_sweep(archs, seeds=(1, 2), data_root='synthetic:12',
                       out_dir=str(tmp_path), batch_size=4, epochs=2,
                       use_rnn=False, eval_decoder='greedy', progress=False,

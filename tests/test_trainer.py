@@ -14,7 +14,7 @@ from nbasr_tpu.training import (
 
 TINY_ARCH = [[1, 0], [0, 0, 0], [1, 0, 0, 1]]
 TINY_KW = dict(block_filters=(16, 16, 24, 24), cells_per_block=(1, 1, 1, 1),
-               cell_groups=4, rnn_units=16)
+               cell_groups=4, rnn_units=16, init_scheme='scaled')
 
 
 def tiny_model(**kw):

@@ -41,6 +41,10 @@ def main():
     parser.add_argument('--seed', type=int, default=1235)
     parser.add_argument('--platform', type=str, default=None,
                         help="force a jax platform (e.g. 'cpu'); default: auto")
+    parser.add_argument('--dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='encoder compute dtype (bfloat16 is ~10-50x '
+                             'faster on TPU; float32 matches the reference)')
     args = parser.parse_args()
 
     if args.platform:
@@ -66,8 +70,10 @@ def main():
     results_folder = pathlib.Path(args.exp_folder) / 'jax'
     dataloaders = get_dataloaders(args.data, batch_size=args.batch_size)
     loss = get_loss()
-    model = nbasr_tpu.get_model(arch, use_rnn=args.rnn,
-                                dropout_rate=args.dropout, data_norm=True)
+    import jax.numpy as jnp
+    model = nbasr_tpu.get_model(
+        arch, use_rnn=args.rnn, dropout_rate=args.dropout, data_norm=True,
+        compute_dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32)
 
     if args.dp or args.tp > 1:
         from nbasr_tpu.parallel import ParallelTrainer, make_mesh
