@@ -70,9 +70,17 @@ def _parse_riff(data):
     return audio, sample_rate
 
 
-def read_wav(path):
-    """Read a TIMIT wav (RIFF or NIST SPHERE) -> (float32 audio in [-1,1], rate)."""
+def read_wav(path, use_native=True):
+    """Read a TIMIT wav (RIFF or NIST SPHERE) -> (float32 audio in [-1,1], rate).
+
+    Uses the C++ parser (:mod:`nbasr_tpu.native`) when built; falls back to
+    the numpy implementation otherwise.
+    """
     data = pathlib.Path(path).read_bytes()
+    if use_native:
+        from .. import native
+        if native.available():
+            return native.parse_wav(data)
     if data[:8] == b'NIST_1A\n':
         return _parse_sphere(data)
     return _parse_riff(data)

@@ -60,6 +60,9 @@ class ASRModel(nn.Module):
     #: note about init-time activation collapse) or 'scaled'
     #: (variance-preserving; recommended with bfloat16).
     init_scheme: str = 'reference'
+    #: grouped-conv implementation for the cell ops: 'auto' | 'native' |
+    #: 'masked_dense' | 'pallas' (see layers.PadConvRelu perf note).
+    grouped_impl: str = 'auto'
 
     @classmethod
     def from_arch_vec(cls, arch_vec, **kwargs):
@@ -93,6 +96,7 @@ class ASRModel(nn.Module):
                                use_norm=self.use_norm,
                                groups=self.cell_groups,
                                init_scheme=self.init_scheme,
+                               grouped_impl=self.grouped_impl,
                                name=f'block{i}_cell{j}')(x, train=train)
 
         if self.use_rnn:

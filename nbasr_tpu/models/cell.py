@@ -26,7 +26,7 @@ CELL_DROPOUT = 0.2
 
 
 def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100,
-            init_scheme='reference'):
+            init_scheme='reference', grouped_impl='auto'):
     """Instantiate a cell op by name (reference op table tf/ops.py:69-76).
 
     ``groups`` is 100 in the reference; it is configurable here so scaled
@@ -44,7 +44,8 @@ def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100,
     if op_name in convs:
         return PadConvRelu(filters, strides=1, groups=groups,
                            dropout_rate=dropout_rate, name=name,
-                           init_scheme=init_scheme, **convs[op_name])
+                           init_scheme=init_scheme, grouped_impl=grouped_impl,
+                           **convs[op_name])
     if op_name == 'zero':
         return None  # contributes nothing; handled by the caller
     raise ValueError(f'Unknown op: {op_name!r}')
@@ -64,6 +65,7 @@ class SearchCell(nn.Module):
     use_norm: bool = True
     groups: int = 100
     init_scheme: str = 'reference'
+    grouped_impl: str = 'auto'
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -72,7 +74,8 @@ class SearchCell(nn.Module):
             op_name, *branches = node
             op = make_op(op_name, self.filters, self.dropout_rate,
                          name=f'node{nidx}_{op_name}', groups=self.groups,
-                         init_scheme=self.init_scheme)
+                         init_scheme=self.init_scheme,
+                         grouped_impl=self.grouped_impl)
             total = op(outputs[-1], train=train) if op is not None else None
             for j, bit in enumerate(branches):
                 if bit:

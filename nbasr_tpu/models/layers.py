@@ -111,7 +111,20 @@ class PadConvRelu(nn.Module):
     def __call__(self, x, train=False):
         lpad, rpad = conv_padding(self.kernel_size, self.dilation, self.strides)
         in_features = x.shape[-1]
-        if self._use_masked_dense(in_features):
+        if self.grouped_impl == 'pallas' and self.groups > 1:
+            if self.strides != 1:
+                raise ValueError('pallas grouped conv supports stride 1 only')
+            from ..ops.grouped_conv import grouped_conv1d
+            cin = in_features // self.groups
+            kernel = self.param('conv_kernel_grouped', self._kernel_init(),
+                                (self.kernel_size, cin, self.filters),
+                                jnp.float32)
+            bias = self.param('conv_bias', nn.initializers.zeros,
+                              (self.filters,), jnp.float32)
+            y = grouped_conv1d(x, kernel.astype(x.dtype), self.groups,
+                               lpad, rpad, self.dilation)
+            x = y + bias.astype(y.dtype)
+        elif self._use_masked_dense(in_features):
             cin = in_features // self.groups
             cout = self.filters // self.groups
             kernel = self.param(

@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: many-group 1-D convolution with groups on the lanes.
+
+The cell convs of NAS-Bench-ASR use ``groups=100`` with 6–12 channels per
+group (reference ``model/tf/ops.py:69-76``).  Neither XLA path fits the
+hardware: the native grouped conv runs 100 matmuls whose 6-wide operands
+pad to 128 MXU lanes (measured 95 ms/train-step on v5e), and a dense
+block-diagonal rewrite pays 100× FLOPs (139 ms).  The right mapping is to
+put the *group* axis on the VPU's 128 lanes and treat the tiny per-group
+contraction (K·ci ≤ 60 terms) as unrolled vector FMAs:
+
+    out[t, o, g] = Σ_{k, c}  x[t + k·d, c, g] · w[k, c, o, g]
+
+Each (k, c) term is one broadcast-FMA over a ``[T, co, G]`` tile — pure
+VPU work at full lane occupancy (G=100 pads to 128, 1.28× — vs 21× for
+the MXU path).  Activations are staged as ``[ci, T, G]`` per batch row so
+the minor two dims tile naturally as (sublanes=T, lanes=G).
+
+Forward, input-gradient and weight-gradient are all Pallas kernels wired
+through ``jax.custom_vjp``; the weight gradient accumulates across the
+batch grid dimension (TPU grids run sequentially ⇒ read-modify-write on a
+revisited output block is safe).
+
+Weights use the framework's compact grouped layout ``[K, ci, C_out]``
+(C_out group-major), identical to the other implementations, so
+checkpoints are interchangeable.  Stride is 1 (all reference grouped convs
+are stride-1 cell ops); dilation is supported.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['grouped_conv1d']
+
+
+def _fwd_kernel(x_ref, w_ref, o_ref, *, K, ci, co, T, dilation):
+    """x [1, ci, T+pad, G]; w [K, ci, co, G]; out [1, T, co, G]."""
+    G = x_ref.shape[-1]
+    acc = jnp.zeros((T, co, G), jnp.float32)
+    for k in range(K):
+        off = k * dilation
+        for c in range(ci):
+            xs = x_ref[0, c, off:off + T, :].astype(jnp.float32)   # [T, G]
+            wk = w_ref[k, c, :, :].astype(jnp.float32)             # [co, G]
+            acc = acc + xs[:, None, :] * wk[None, :, :]
+    o_ref[0, ...] = acc.astype(o_ref.dtype)
+
+
+def _dx_kernel(dy_ref, w_ref, o_ref, *, K, ci, co, T_in, dilation):
+    """dy [1, co, T_in+span, G] (pre-shifted/padded); w [K, ci, co, G];
+    dx [1, T_in, ci, G]:  dx[t,c] = Σ_{k,o} dy_pad[t + span - k·d, o]·w[k,c,o].
+
+    One [co, T, G] broadcast-FMA-reduce per (k, c): K·ci ≤ 60 vector ops.
+    """
+    span = (K - 1) * dilation
+    cols = []
+    for c in range(ci):
+        acc = jnp.zeros((T_in, o_ref.shape[-1]), jnp.float32)
+        for k in range(K):
+            off = span - k * dilation
+            ds = dy_ref[0, :, off:off + T_in, :].astype(jnp.float32)  # [co,T,G]
+            wk = w_ref[k, c, :, :].astype(jnp.float32)                # [co,G]
+            acc = acc + jnp.sum(ds * wk[:, None, :], axis=0)
+        cols.append(acc)
+    o_ref[0, ...] = jnp.stack(cols, axis=1).astype(o_ref.dtype)
+
+
+def _dw_kernel(x_ref, dy_ref, o_ref, *, K, ci, co, T, dilation):
+    """x [1, ci, T+pad, G]; dy [1, co, T, G]; dw [K, ci, co, G] summed over grid.
+
+    One [co, T, G] multiply + T-reduction per (k, c): K·ci ≤ 60 vector ops
+    and a single output read-modify-write per grid step.
+    """
+    b = pl.program_id(0)
+    dy = dy_ref[0].astype(jnp.float32)                                # [co,T,G]
+    planes = []
+    for k in range(K):
+        off = k * dilation
+        row = []
+        for c in range(ci):
+            xs = x_ref[0, c, off:off + T, :].astype(jnp.float32)      # [T,G]
+            row.append(jnp.sum(xs[None, :, :] * dy, axis=1))          # [co,G]
+        planes.append(jnp.stack(row, axis=0))                         # [ci,co,G]
+    contrib = jnp.stack(planes, axis=0).astype(o_ref.dtype)           # [K,ci,co,G]
+
+    @pl.when(b == 0)
+    def _():
+        o_ref[...] = contrib
+
+    @pl.when(b != 0)
+    def _():
+        o_ref[...] += contrib
+
+
+def _split_layouts(x, w, groups):
+    """x [B,T,C] -> [B,ci,T,G];  w [K,ci,C_out] -> [K,ci,co,G]."""
+    B, T, C = x.shape
+    K, ci, Cout = w.shape
+    G = groups
+    co = Cout // G
+    xg = x.reshape(B, T, G, ci).transpose(0, 3, 1, 2)
+    wg = w.reshape(K, ci, G, co).transpose(0, 1, 3, 2)
+    return xg, wg, co
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def grouped_conv1d(x, w, groups, lpad, rpad, dilation=1, interpret=False):
+    """Grouped conv1d, stride 1: ``[B,T,C] × [K,ci,C_out] → [B,T',C_out]``.
+
+    ``w`` is the compact grouped kernel (``ci = C // groups`` input channels
+    per group, output channels group-major).  ``(lpad, rpad)`` time padding
+    is applied inside.  Differentiable w.r.t. ``x`` and ``w``.
+    """
+    return _forward(x, w, groups, lpad, rpad, dilation, interpret)
+
+
+def _forward(x, w, groups, lpad, rpad, dilation, interpret):
+    B, T_in, C = x.shape
+    K, ci, Cout = w.shape
+    x_pad = jnp.pad(x, ((0, 0), (lpad, rpad), (0, 0)))
+    xg, wg, co = _split_layouts(x_pad, w, groups)
+    G = groups
+    T_pad = T_in + lpad + rpad
+    T_out = T_pad - (K - 1) * dilation
+    kernel = functools.partial(_fwd_kernel, K=K, ci=ci, co=co, T=T_out,
+                               dilation=dilation)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, ci, T_pad, G), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, ci, co, G), lambda b: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T_out, co, G), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_out, co, G), x.dtype),
+        interpret=interpret,
+    )(xg, wg)
+    # [B, T_out, co, G] -> group-major channels [B, T_out, G*co]
+    return out.transpose(0, 1, 3, 2).reshape(B, T_out, G * co)
+
+
+def _fwd_rule(x, w, groups, lpad, rpad, dilation, interpret):
+    return _forward(x, w, groups, lpad, rpad, dilation, interpret), (x, w)
+
+
+def _bwd_rule(groups, lpad, rpad, dilation, interpret, res, dy):
+    x, w = res
+    B, T_in, C = x.shape
+    K, ci, Cout = w.shape
+    G = groups
+    co = Cout // G
+    span = (K - 1) * dilation
+    T_out = T_in + lpad + rpad - span
+
+    _, wg, _ = _split_layouts(x[:, :1], w, groups)
+    dyg = dy.reshape(B, T_out, G, co).transpose(0, 3, 1, 2)   # [B, co, T_out, G]
+
+    # dx[t] = Σ dy[t + lpad - k·d]; stage dy so that padded index
+    # (t + span - k·d) hits dy[t + lpad - k·d]: left pad = span - lpad
+    # (= rpad for stride-1 same-length convs), right pad = lpad.
+    left, right = span - lpad, lpad
+    dyg_pad = jnp.pad(dyg, ((0, 0), (0, 0), (left, right), (0, 0)))
+    T_dy = T_out + left + right  # == T_in + span
+
+    dx_kernel = functools.partial(_dx_kernel, K=K, ci=ci, co=co, T_in=T_in,
+                                  dilation=dilation)
+    dxg = pl.pallas_call(
+        dx_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, co, T_dy, G), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, ci, co, G), lambda b: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T_in, ci, G), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_in, ci, G), x.dtype),
+        interpret=interpret,
+    )(dyg_pad, wg)
+    dx = dxg.transpose(0, 1, 3, 2).reshape(B, T_in, G * ci)
+
+    x_pad = jnp.pad(x, ((0, 0), (lpad, rpad), (0, 0)))
+    xg, _, _ = _split_layouts(x_pad, w, groups)
+    T_pad = T_in + lpad + rpad
+    dw_kernel = functools.partial(_dw_kernel, K=K, ci=ci, co=co, T=T_out,
+                                  dilation=dilation)
+    dwg = pl.pallas_call(
+        dw_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, ci, T_pad, G), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co, T_out, G), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, ci, co, G), lambda b: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, ci, co, G), jnp.float32),
+        interpret=interpret,
+    )(xg, dyg)
+    dw = dwg.transpose(0, 1, 3, 2).reshape(K, ci, G * co).astype(w.dtype)
+    return dx, dw
+
+
+grouped_conv1d.defvjp(_fwd_rule, _bwd_rule)

@@ -68,7 +68,8 @@ class Trainer:
     def __init__(self, dataloaders, loss=None, devices=None, save_dir=None,
                  verbose=True, frontend=None, eval_decoder='beam',
                  beam_width=12, strict_numerics=False, decay=0.9,
-                 decay_start_epoch=5, clip_norm=5.0, adam_eps=1e-7):
+                 decay_start_epoch=5, clip_norm=5.0, adam_eps=1e-7,
+                 profile_dir=None, profile_steps=0):
         encoder, data_train, data_validate, data_test = dataloaders
         self.encoder = encoder
         self.data_train = data_train
@@ -91,6 +92,11 @@ class Trainer:
         self.decay_start_epoch = decay_start_epoch
         self.clip_norm = clip_norm
         self.adam_eps = adam_eps
+        #: when set, a jax.profiler trace of ``profile_steps`` train steps is
+        #: captured at the start of epoch 1 (replaces the reference's dead
+        #: TensorBoard ``profile_batch`` hook, training/tf/main.py:92-97)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
         if isinstance(encoder, PhonemeEncoder):
             self.fold_table = jnp.asarray(encoder.fold_table(39))
@@ -195,10 +201,24 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def init_state(self, model, seed=0, sample_batch=None):
-        """Initialise params/optimizer; usable standalone (tests, sweeps)."""
+        """Initialise params/optimizer; usable standalone (tests, sweeps).
+
+        Parameters are shape-independent of sequence length, so init runs on
+        a tiny [1, 16-frame] batch — this halves compile cost (the model
+        would otherwise compile once for init shapes and again for the real
+        batch shapes).
+        """
         self.model = model
-        batch = sample_batch or next(iter(self.data_validate))
-        feats, fsize = self._features({k: jnp.asarray(v) for k, v in batch.items()})
+        if sample_batch is not None:
+            feats, fsize = self._features(
+                {k: jnp.asarray(v) for k, v in sample_batch.items()})
+        else:
+            cfg = self.frontend
+            frames = 16
+            samples = cfg.window + (frames - 1) * cfg.hop
+            feats, fsize = self._features({
+                'audio': jnp.zeros((1, samples), jnp.float32),
+                'feature_size': jnp.asarray([frames], jnp.int32)})
         variables = model.init(jax.random.PRNGKey(seed), feats,
                                jnp.asarray(fsize), train=False)
         self._stats = variables.get('stats')
@@ -266,10 +286,19 @@ class Trainer:
             epoch_lr = lr_at_epoch(lr, epoch, self.decay, self.decay_start_epoch)
             self.state = self.state.replace(
                 metrics=zeros_like_metrics(('ctc_loss',)))
-            for _ in range(steps_per_epoch):
+            profiling = (self.profile_dir and epoch == start_epoch
+                         and self.profile_steps > 0)
+            for step_i in range(steps_per_epoch):
+                if profiling and step_i == 1:  # skip the compile step
+                    jax.profiler.start_trace(str(self.profile_dir))
                 batch = self._put_batch(next(stream))
                 self.state = self._train_step(self.state, batch,
                                               jnp.float32(epoch_lr))
+                if profiling and step_i == min(self.profile_steps,
+                                               steps_per_epoch - 1):
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
             train_m = ratios(self.state.metrics)
             notfinite = int(self.state.opt_state.notfinite_count)
             if notfinite and self.strict_numerics:
@@ -292,6 +321,15 @@ class Trainer:
                     self.save(best_ckpt, epoch=epoch, best_val=best_val)
             if latest_ckpt:
                 self.save(latest_ckpt, epoch=epoch, best_val=best_val)
+            if out_dir:  # streaming per-epoch JSONL (tensorboard-free observability)
+                with open(out_dir / 'metrics.jsonl', 'a') as f:
+                    f.write(json.dumps({
+                        'epoch': epoch, 'lr': epoch_lr,
+                        'ctc_loss': train_m['ctc_loss'],
+                        'val_ctc_loss': val_m['ctc_loss'],
+                        'val_wer': val_m['wer'], 'val_ler': val_m['ler'],
+                        'nonfinite_steps': notfinite,
+                        'seconds': history['epoch_seconds'][-1]}) + '\n')
             if self.verbose:
                 print(f'Epoch {epoch}: loss {train_m["ctc_loss"]:.4f} '
                       f'val_loss {val_m["ctc_loss"]:.4f} '
