@@ -218,12 +218,14 @@ def render(graph, path=None, fmt='png'):
     """
     dot_text = to_dot(graph)
     if path is None:
-        path = tempfile.mktemp('.dot', 'nbasr_graph.')
+        path = tempfile.mktemp('', 'nbasr_graph.')
     path = pathlib.Path(path)
-    dot_path = path.with_suffix('.dot')
+    # append (not with_suffix: arch ids contain dots-like segments that
+    # with_suffix would clobber, collapsing every arch onto one filename)
+    dot_path = path.parent / (path.name + '.dot')
     dot_path.write_text(dot_text)
     if shutil.which('dot'):
-        img_path = path.with_suffix(f'.{fmt}')
+        img_path = path.parent / (path.name + f'.{fmt}')
         subprocess.run(['dot', f'-T{fmt}', str(dot_path), '-o', str(img_path)], check=True)
         return img_path
     return dot_path
