@@ -63,6 +63,10 @@ class ASRModel(nn.Module):
     #: grouped-conv implementation for the cell ops: 'auto' | 'native' |
     #: 'masked_dense' | 'pallas' (see layers.PadConvRelu perf note).
     grouped_impl: str = 'auto'
+    #: rematerialise each SearchCell in the backward pass (jax.checkpoint):
+    #: trades ~35% more FLOPs for O(cells) less activation memory — enables
+    #: much larger batch/sequence products per chip.
+    remat_cells: bool = False
 
     @classmethod
     def from_arch_vec(cls, arch_vec, **kwargs):
@@ -90,14 +94,16 @@ class ASRModel(nn.Module):
                             init_scheme=self.init_scheme,
                             name=f'block{i}_conv')(x, train=train)
             x = nn.LayerNorm(epsilon=norm_eps, name=f'block{i}_norm')(x)
+            cell_cls = (nn.remat(SearchCell, static_argnums=(2,))
+                        if self.remat_cells else SearchCell)
             for j in range(cells):
-                x = SearchCell(filters=filters, arch_desc=self.arch_desc,
-                               dropout_rate=self.cell_dropout,
-                               use_norm=self.use_norm,
-                               groups=self.cell_groups,
-                               init_scheme=self.init_scheme,
-                               grouped_impl=self.grouped_impl,
-                               name=f'block{i}_cell{j}')(x, train=train)
+                x = cell_cls(filters=filters, arch_desc=self.arch_desc,
+                             dropout_rate=self.cell_dropout,
+                             use_norm=self.use_norm,
+                             groups=self.cell_groups,
+                             init_scheme=self.init_scheme,
+                             grouped_impl=self.grouped_impl,
+                             name=f'block{i}_cell{j}')(x, train)
 
         if self.use_rnn:
             if self.dropout_rate:

@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['FrontendConfig', 'mel_weight_matrix', 'log_mel_spectrogram',
-           'num_frames', 'frame_signal']
+           'num_frames', 'frame_signal', 'magnitude_spectrogram',
+           'mel_spectrogram', 'power_mel_spectrogram', 'mfcc', 'to_db',
+           'get_feature', 'inverse_stft']
 
 
 class FrontendConfig:
@@ -132,3 +134,112 @@ def log_mel_spectrogram(audio, config=None, mel_mat=None):
     power = _power_spectrum(frames, config)
     mel = jnp.matmul(power, jnp.asarray(mel_mat), preferred_element_type=jnp.float32)
     return jnp.log(mel + config.log_floor)
+
+
+# ---------------------------------------------------------------------------
+# Extended featurizer library (reference audio_feature.py dispatcher surface:
+# spec / spec_dB / mel / pmel / lmel / mfcc, plus inverse STFT).  All
+# jittable; mel/DCT projections are MXU matmuls.
+# ---------------------------------------------------------------------------
+
+def magnitude_spectrogram(audio, config=None, exponent=2.0):
+    """[..., samples] -> [..., frames, bins] |STFT|^exponent
+    (reference ``audio_feature.py:131-185``)."""
+    config = config or FrontendConfig()
+    frames = frame_signal(jnp.asarray(audio, jnp.float32), config.window,
+                          config.hop)
+    power = _power_spectrum(frames, config)       # |stft|^2
+    if exponent == 2.0:
+        return power
+    return jnp.power(jnp.sqrt(power), exponent)
+
+
+def to_db(spec, ref_level_db=20.0, min_level_db=-100.0, clip=True):
+    """Power/magnitude spectrogram -> normalised dB in [0, 1]
+    (reference ``audio_feature.py:36-66``)."""
+    db = 20.0 * jnp.log10(jnp.maximum(spec, 1e-10)) - ref_level_db
+    db = db / -min_level_db
+    if clip:
+        db = jnp.clip(db, -1.0, 0.0) + 1.0
+    return db
+
+
+def mel_spectrogram(audio, config=None, mel_mat=None, exponent=2.0):
+    """Linear-power mel filterbank (reference ``audio_feature.py:299-369``)."""
+    config = config or FrontendConfig()
+    if mel_mat is None:
+        mel_mat = mel_weight_matrix(config.num_mel_bins, config.num_bins,
+                                    config.sample_rate, config.lower_hz,
+                                    config.upper_hz)
+    spec = magnitude_spectrogram(audio, config, exponent)
+    return jnp.matmul(spec, jnp.asarray(mel_mat),
+                      preferred_element_type=jnp.float32)
+
+
+def power_mel_spectrogram(audio, config=None, power_coeff=1.0 / 15.0, **kw):
+    """PNCC-style power-law mel (reference ``audio_feature.py:424-456``)."""
+    return jnp.power(mel_spectrogram(audio, config, **kw), power_coeff)
+
+
+@functools.lru_cache(maxsize=4)
+def _dct_matrix(n_in, n_out):
+    """Orthonormal DCT-II basis [n_in, n_out] (tf.signal.mfccs... semantics)."""
+    k = np.arange(n_out)[None, :]
+    n = np.arange(n_in)[:, None]
+    basis = np.cos(np.pi * (2 * n + 1) * k / (2 * n_in))
+    basis *= np.sqrt(2.0 / n_in)
+    basis[:, 0] *= np.sqrt(0.5)
+    return basis.astype(np.float32)
+
+
+def mfcc(audio, config=None, num_coeffs=13, **kw):
+    """MFCCs: orthonormal DCT-II of the log-mel filterbank
+    (reference ``audio_feature.py:396-421``)."""
+    config = config or FrontendConfig()
+    lmel = log_mel_spectrogram(audio, config, **kw)
+    dct = jnp.asarray(_dct_matrix(config.num_mel_bins, num_coeffs))
+    return jnp.matmul(lmel, dct, preferred_element_type=jnp.float32)
+
+
+def get_feature(audio, config=None, feature_type='lmel', **kw):
+    """Feature dispatcher (reference ``audio_feature.py:458-475``)."""
+    table = {
+        'spec': magnitude_spectrogram,
+        'spec_dB': lambda a, c, **k: to_db(magnitude_spectrogram(a, c), **k),
+        'mel': mel_spectrogram,
+        'pmel': power_mel_spectrogram,
+        'lmel': log_mel_spectrogram,
+        'mfcc': mfcc,
+    }
+    if feature_type not in table:
+        raise NotImplementedError(
+            f'Unsupported audio feature type {feature_type!r}')
+    return table[feature_type](audio, config, **kw)
+
+
+def inverse_stft(stft, config=None, length=None):
+    """Complex STFT [..., frames, bins] -> audio, by windowed overlap-add
+    with squared-window normalisation (reference ``spec2wav``,
+    ``audio_feature.py:247-297``)."""
+    config = config or FrontendConfig()
+    frames = jnp.fft.irfft(stft, n=config.fft_length, axis=-1)
+    w = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(config.window)
+                            / config.window)).astype(np.float32)
+    frames = frames[..., :config.window] * w
+    n_frames = frames.shape[-2]
+    total = config.window + (n_frames - 1) * config.hop
+    idx = (np.arange(n_frames)[:, None] * config.hop
+           + np.arange(config.window)[None, :]).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (-1,))
+    audio = jnp.zeros(frames.shape[:-2] + (total,), jnp.float32)
+    audio = audio.at[..., idx].add(flat)
+    norm = np.zeros(total, np.float32)
+    np.add.at(norm, idx, np.tile(w * w, n_frames))
+    audio = audio / jnp.maximum(jnp.asarray(norm), 1e-8)
+    if length is not None:
+        if length <= total:
+            audio = audio[..., :length]
+        else:  # framing dropped a tail shorter than one hop; zero-pad back
+            pad = [(0, 0)] * (audio.ndim - 1) + [(0, length - total)]
+            audio = jnp.pad(audio, pad)
+    return audio

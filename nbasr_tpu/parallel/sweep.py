@@ -90,21 +90,48 @@ def run_sweep(archs, seeds=(1234, 1235, 1236), *, data_root='TIMIT',
         archs = list(unique_architectures(limit=archs).values())
     groups = device_groups(group_size=group_size)
 
-    per_seed_rows = {seed: [] for seed in seeds}
-    for seed in seeds:
-        for i, arch in enumerate(archs):
-            group = groups[i % len(groups)]
-            t0 = time.time()
-            curve, test_per = _train_one(
-                arch, seed, data_root, batch_size, epochs, lr, group,
-                use_rnn, eval_decoder, save_dir, verbose, model_kwargs)
-            h = get_model_hash(arch)
-            per_seed_rows[seed].append([h, list(map(float, curve)),
-                                        float(test_per), arch])
-            if progress:
-                print(f'[sweep] seed {seed} arch {i + 1}/{len(archs)} '
-                      f'hash {h[:8]} best_val {min(curve):.4f} '
-                      f'test {test_per:.4f} ({time.time() - t0:.0f}s)')
+    jobs = [(seed, i, arch) for seed in seeds for i, arch in enumerate(archs)]
+    per_seed_rows = {seed: [None] * len(archs) for seed in seeds}
+
+    def run_job(job, group):
+        seed, i, arch = job
+        t0 = time.time()
+        curve, test_per = _train_one(
+            arch, seed, data_root, batch_size, epochs, lr, group,
+            use_rnn, eval_decoder, save_dir, verbose, model_kwargs)
+        h = get_model_hash(arch)
+        per_seed_rows[seed][i] = [h, list(map(float, curve)),
+                                  float(test_per), arch]
+        if progress:
+            print(f'[sweep] seed {seed} arch {i + 1}/{len(archs)} '
+                  f'hash {h[:8]} best_val {min(curve):.4f} '
+                  f'test {test_per:.4f} ({time.time() - t0:.0f}s)')
+
+    if len(groups) > 1:
+        # one worker thread per device group: jobs run concurrently, each
+        # confined to its group's sub-mesh (JAX dispatch is thread-safe)
+        import queue as _queue
+        import threading
+        q = _queue.Queue()
+        for job in jobs:
+            q.put(job)
+
+        def worker(group):
+            while True:
+                try:
+                    job = q.get_nowait()
+                except _queue.Empty:
+                    return
+                run_job(job, group)
+
+        threads = [threading.Thread(target=worker, args=(g,)) for g in groups]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    else:
+        for job in jobs:
+            run_job(job, groups[0])
 
     paths = []
     for seed, rows in per_seed_rows.items():

@@ -190,3 +190,21 @@ def test_reference_init_collapse_documented():
     v = m_sc.init(jax.random.PRNGKey(0), x)
     y_sc = m_sc.apply(v, x)
     assert float(jnp.abs(y_sc).max()) > 1e-3  # alive
+
+
+def test_remat_cells_equivalent():
+    """remat_cells changes memory behavior, not numerics."""
+    kw = dict(use_rnn=False, block_filters=(8, 8, 8, 8),
+              cells_per_block=(1, 1, 1, 1), cell_groups=2,
+              init_scheme='scaled', cell_dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 80))
+    m1 = get_model(GOLDEN_ARCH, **kw)
+    m2 = get_model(GOLDEN_ARCH, remat_cells=True, **kw)
+    v = m1.init(jax.random.PRNGKey(1), x)
+    y1 = m1.apply(v, x)
+    y2 = m2.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+    g1 = jax.grad(lambda p: (m1.apply({'params': p}, x) ** 2).sum())(v['params'])
+    g2 = jax.grad(lambda p: (m2.apply({'params': p}, x) ** 2).sum())(v['params'])
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -33,7 +33,7 @@ def test_micro_sweep_round_trip(tmp_path):
     paths = run_sweep(archs, seeds=(1, 2), data_root='synthetic:12',
                       out_dir=str(tmp_path), batch_size=4, epochs=2,
                       use_rnn=False, eval_decoder='greedy', progress=False,
-                      model_kwargs=tiny)
+                      group_size=4, model_kwargs=tiny)  # 2 groups -> threaded
     assert len(paths) == 2
 
     si = static_info_pass(archs, out_dir=str(tmp_path), use_rnn=False,
