@@ -36,34 +36,42 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['grouped_conv1d']
 
 
-def _fwd_kernel(x_ref, w_ref, o_ref, *, K, ci, co, T, dilation):
-    """x [1, ci, T+pad, G]; w [K, ci, co, G]; out [1, T, co, G]."""
-    G = x_ref.shape[-1]
-    acc = jnp.zeros((T, co, G), jnp.float32)
+def _fwd_kernel(x_ref, w_ref, o_ref, acc_ref, *, K, ci, co, T, dilation):
+    """x [1, ci, T+pad, G]; w [K, ci, co, G]; out [1, T, co, G].
+
+    Accumulates in-place into a VMEM scratch ref — the unrolled functional
+    form would keep K·ci live [T, co, G] temporaries and blow the VMEM
+    stack limit at flagship shapes.
+    """
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     for k in range(K):
         off = k * dilation
         for c in range(ci):
             xs = x_ref[0, c, off:off + T, :].astype(jnp.float32)   # [T, G]
             wk = w_ref[k, c, :, :].astype(jnp.float32)             # [co, G]
-            acc = acc + xs[:, None, :] * wk[None, :, :]
-    o_ref[0, ...] = acc.astype(o_ref.dtype)
+            acc_ref[...] += xs[:, None, :] * wk[None, :, :]
+    o_ref[0, ...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _dx_kernel(dy_ref, w_ref, o_ref, *, K, ci, co, T_in, dilation):
+def _dx_kernel(dy_ref, w_ref, o_ref, acc_ref, *, K, ci, co, T_in, dilation):
     """dy [1, co, T_in+span, G] (pre-shifted/padded); w [K, ci, co, G];
     dx [1, T_in, ci, G]:  dx[t,c] = Σ_{k,o} dy_pad[t + span - k·d, o]·w[k,c,o].
 
     One [co, T, G] broadcast-FMA-reduce per (k, c): K·ci ≤ 60 vector ops.
     """
+    # Per input channel: functional [T, G] accumulator (only K·co ≤ 60 adds
+    # live per column), then ONE full-block write via stack — Mosaic rejects
+    # middle-dim slice writes ("unsupported shape cast") at these shapes.
+    del acc_ref  # kept in the signature for scratch-shape symmetry
     span = (K - 1) * dilation
     cols = []
     for c in range(ci):
-        acc = jnp.zeros((T_in, o_ref.shape[-1]), jnp.float32)
+        acc = jnp.zeros((T_in, dy_ref.shape[-1]), jnp.float32)
         for k in range(K):
             off = span - k * dilation
-            ds = dy_ref[0, :, off:off + T_in, :].astype(jnp.float32)  # [co,T,G]
-            wk = w_ref[k, c, :, :].astype(jnp.float32)                # [co,G]
-            acc = acc + jnp.sum(ds * wk[:, None, :], axis=0)
+            for o in range(co):
+                ds = dy_ref[0, o, off:off + T_in, :].astype(jnp.float32)
+                acc = acc + ds * w_ref[k, c, o, :].astype(jnp.float32)[None, :]
         cols.append(acc)
     o_ref[0, ...] = jnp.stack(cols, axis=1).astype(o_ref.dtype)
 
@@ -139,6 +147,7 @@ def _forward(x, w, groups, lpad, rpad, dilation, interpret):
         out_specs=pl.BlockSpec((1, T_out, co, G), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T_out, co, G), x.dtype),
+        scratch_shapes=[pltpu.VMEM((T_out, co, G), jnp.float32)],
         interpret=interpret,
     )(xg, wg)
     # [B, T_out, co, G] -> group-major channels [B, T_out, G*co]
@@ -182,6 +191,7 @@ def _bwd_rule(groups, lpad, rpad, dilation, interpret, res, dy):
         out_specs=pl.BlockSpec((1, T_in, ci, G), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T_in, ci, G), x.dtype),
+        scratch_shapes=[pltpu.VMEM((T_in, G), jnp.float32)],
         interpret=interpret,
     )(dyg_pad, wg)
     dx = dxg.transpose(0, 1, 3, 2).reshape(B, T_in, G * ci)
