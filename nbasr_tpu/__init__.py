@@ -20,6 +20,7 @@ from . import graph_utils
 from .dataset import (
     Dataset, BenchmarkingDataset, StaticInfoDataset, from_folder,
 )
+from . import search
 from .version import __version__
 
 

@@ -2,6 +2,7 @@
 
 from .asr import ASRModel, get_model, count_params, logits_length
 from .cell import SearchCell, make_op, CELL_DROPOUT
+from .proxies import compute_proxy, PROXIES
 from .layers import (
     PadConvRelu, LinearRelu, MeanVarianceNorm, relu20, conv_padding,
     FUTURE_CONTEXT,
@@ -9,6 +10,7 @@ from .layers import (
 
 __all__ = [
     'ASRModel', 'get_model', 'count_params', 'logits_length',
+    'compute_proxy', 'PROXIES',
     'SearchCell', 'make_op', 'CELL_DROPOUT',
     'PadConvRelu', 'LinearRelu', 'MeanVarianceNorm', 'relu20',
     'conv_padding', 'FUTURE_CONTEXT',
