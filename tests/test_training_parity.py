@@ -1,0 +1,106 @@
+"""Gradient-level training parity against the reference torch stack.
+
+Transplants reference-torch weights into the JAX model, runs one loss
+computation (model forward + normalised CTC) in BOTH frameworks on the
+same batch, and compares the loss value and every parameter gradient.
+This is the deepest parity evidence available without TIMIT: it exercises
+the entire differentiable path the reference trains with
+(``training/torch/trainer.py:208-227`` step semantics: log_softmax +
+ctc_loss(reduction none, zero_infinity) / output_len, mean)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nbasr_tpu.models import get_model, logits_length
+from nbasr_tpu.ops.ctc import normalized_ctc_loss
+
+torch = pytest.importorskip('torch')
+
+from tests.test_full_model_parity import _load_ref_torch, _transplant  # noqa: E402
+
+
+def _norm_ctc_torch(logits_bt_c, out_len, targets, target_len):
+    lp = torch.nn.functional.log_softmax(logits_bt_c, dim=2).permute(1, 0, 2)
+    loss = torch.nn.functional.ctc_loss(
+        lp, targets, out_len, target_len, blank=0, reduction='none',
+        zero_infinity=True)
+    # our normalisation: /(out_len + 1) (TF rule); apply to both sides
+    return (loss / (out_len + 1)).mean()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('arch', [
+    [[1, 0], [1, 0, 0], [1, 0, 0, 0]],
+    [[0, 1], [2, 1, 0], [4, 0, 1, 1]],
+])
+def test_gradients_match_reference_torch(arch, monkeypatch):
+    # the reference uses in-place clamp_max_ after ReLU (torch/ops.py:28),
+    # which modern torch rejects under autograd (their pin was torch 1.7);
+    # the out-of-place form is mathematically identical
+    monkeypatch.setattr(torch, 'clamp_max_', torch.clamp_max)
+    mod = _load_ref_torch()
+    from nbasr_tpu.search_space import arch_vec_to_names
+    tmodel = mod.ASRModel(arch_vec_to_names(arch), num_classes=48,
+                          use_rnn=False, dropout_rate=0.0)
+    tmodel.eval()
+    jmodel = get_model(arch, use_rnn=False, dropout_rate=0.0,
+                       cell_dropout=0.0, data_norm=None)
+
+    B, T = 2, 24
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, 80).astype(np.float32) * 0.5
+    labels = rng.randint(1, 49, size=(B, 4)).astype(np.int32)
+    label_len = np.array([4, 3], np.int32)
+
+    variables = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = _transplant(tmodel, variables['params'], use_rnn=False)
+
+    T_out = T // 4
+    out_len = np.full((B,), T_out, np.int32)
+
+    # --- JAX loss + grads ---
+    def loss_fn(p):
+        logits = jmodel.apply({'params': p}, jnp.asarray(x))
+        return normalized_ctc_loss(logits, jnp.asarray(out_len),
+                                   jnp.asarray(labels),
+                                   jnp.asarray(label_len)).mean()
+
+    j_loss, j_grads = jax.value_and_grad(loss_fn)(params)
+
+    # --- torch loss + grads on the same weights ---
+    for p in tmodel.parameters():
+        p.requires_grad_(True)
+    t_logits = tmodel(torch.from_numpy(x.transpose(0, 2, 1)))
+    t_loss = _norm_ctc_torch(t_logits, torch.from_numpy(out_len),
+                             torch.from_numpy(labels),
+                             torch.from_numpy(label_len))
+    t_loss.backward()
+
+    assert float(j_loss) == pytest.approx(float(t_loss), rel=1e-4)
+
+    # compare a representative set of parameter gradients
+    import sys
+    ref_ops = sys.modules['_ref_torch_model.ops']
+    # head
+    head = [m for m in tmodel.model if isinstance(m, torch.nn.Linear)][0]
+    np.testing.assert_allclose(
+        np.asarray(j_grads['head']['kernel']),
+        head.weight.grad.numpy().T, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(j_grads['head']['bias']),
+        head.bias.grad.numpy(), rtol=2e-3, atol=1e-5)
+    # first block conv (deepest gradient path)
+    conv0 = [m for m in tmodel.model if isinstance(m, ref_ops.PadConvRelu)][0]
+    np.testing.assert_allclose(
+        np.asarray(j_grads['block0_conv']['conv']['kernel']),
+        conv0.conv.weight.grad.numpy().transpose(2, 1, 0),
+        rtol=5e-3, atol=1e-6)
+    # total gradient norms agree
+    j_norm = float(jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                                for g in jax.tree_util.tree_leaves(j_grads))))
+    t_norm = float(torch.sqrt(sum((p.grad ** 2).sum()
+                                  for p in tmodel.parameters()
+                                  if p.grad is not None)))
+    assert j_norm == pytest.approx(t_norm, rel=1e-3)
