@@ -280,6 +280,7 @@ class Trainer:
 
         stream = (iter(self.data_train) if hasattr(self.data_train, 'full')
                   else forever(self.data_train))
+        nonfinite_seen = 0
 
         for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
@@ -300,10 +301,14 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
             train_m = ratios(self.state.metrics)
-            notfinite = int(self.state.opt_state.notfinite_count)
+            # total_notfinite is cumulative; notfinite_count resets on any
+            # finite step and would undercount per-epoch skips
+            total_nf = int(self.state.opt_state.total_notfinite)
+            notfinite = total_nf - nonfinite_seen
+            nonfinite_seen = total_nf
             if notfinite and self.strict_numerics:
                 raise FloatingPointError(
-                    f'{notfinite} non-finite update(s) by epoch {epoch}')
+                    f'{notfinite} non-finite update(s) in epoch {epoch}')
 
             val_m = self.evaluate(self.data_validate)
             history['ctc_loss'].append(train_m['ctc_loss'])

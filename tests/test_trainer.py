@@ -163,3 +163,37 @@ def test_set_seed_and_prepare_devices():
     assert prepare_devices(0) == [devs[0]]
     with pytest.raises(ValueError):
         prepare_devices(99)
+
+
+def test_nonfinite_guard_skips_and_counts(tiny_loaders):
+    """A NaN-producing batch must not corrupt params; apply_if_finite
+    counts the skipped update (reference crash-on-NaN replacement)."""
+    trainer = _tiny_trainer(loaders=tiny_loaders)
+    trainer.init_state(tiny_model(), seed=0)
+    batch = {k: np.array(v) for k, v in next(iter(tiny_loaders[1])).items()}
+    p_before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    bad = dict(batch)
+    bad['audio'] = batch['audio'].copy()
+    bad['audio'][0, :10] = np.inf
+    trainer.step(bad, training=True, lr=1e-3)
+    assert int(trainer.state.opt_state.total_notfinite) == 1
+    p_after = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_before, p_after)
+    # a good batch afterwards still updates; cumulative count is stable
+    trainer.step(batch, training=True, lr=1e-3)
+    assert int(trainer.state.opt_state.total_notfinite) == 1
+    p_final = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    changed = any(not np.array_equal(a, b) for a, b in zip(
+        jax.tree_util.tree_leaves(p_after), jax.tree_util.tree_leaves(p_final)))
+    assert changed
+
+
+def test_eval_with_beam_decoder(tiny_loaders):
+    """Integration: trainer eval path with the merged-prefix beam decoder
+    (beam 4) and p39 folding."""
+    trainer = _tiny_trainer(loaders=tiny_loaders, eval_decoder='beam',
+                            beam_width=4)
+    trainer.init_state(tiny_model(), seed=0)
+    m = trainer.evaluate(tiny_loaders[2])
+    assert np.isfinite(m['ctc_loss'])
+    assert 0 <= m['ler'] <= 2.0
