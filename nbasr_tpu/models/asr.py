@@ -87,6 +87,13 @@ class ASRModel(nn.Module):
                                  jnp.asarray(self.data_variance),
                                  name='data_norm')(x, mask=mask)
 
+        # In 'pallas_split' mode each block's cell stack runs in the split
+        # layout [B, c, T, G] (see ops/cell_ops.py): one to_split/from_split
+        # pair per block instead of layout transposes around every conv op.
+        split = self.grouped_impl == 'pallas_split' and self.cell_groups > 1
+        if split:
+            from ..ops.cell_ops import to_split, from_split
+
         specs = zip(self.block_kernels, self.block_strides, self.block_filters,
                     self.cells_per_block)
         for i, (kernel, stride, filters, cells) in enumerate(specs):
@@ -94,6 +101,8 @@ class ASRModel(nn.Module):
                             init_scheme=self.init_scheme,
                             name=f'block{i}_conv')(x, train=train)
             x = nn.LayerNorm(epsilon=norm_eps, name=f'block{i}_norm')(x)
+            if split:
+                x = to_split(x, self.cell_groups)
             cell_cls = (nn.remat(SearchCell, static_argnums=(2,))
                         if self.remat_cells else SearchCell)
             for j in range(cells):
@@ -104,6 +113,8 @@ class ASRModel(nn.Module):
                              init_scheme=self.init_scheme,
                              grouped_impl=self.grouped_impl,
                              name=f'block{i}_cell{j}')(x, train)
+            if split:
+                x = from_split(x)
 
         if self.use_rnn:
             if self.dropout_rate:

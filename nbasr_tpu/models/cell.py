@@ -16,7 +16,7 @@ dead ``zero``-op nodes be pruned by DCE).
 
 from flax import linen as nn
 
-from .layers import PadConvRelu, LinearRelu, norm_eps
+from .layers import PadConvRelu, LinearRelu, SplitLayerNorm, norm_eps
 
 __all__ = ['SearchCell', 'CELL_DROPOUT', 'make_op']
 
@@ -69,6 +69,10 @@ class SearchCell(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        # In 'pallas_split' mode the cell's input/output (and every
+        # intermediate) live in split layout [B, c, T, G]; only the rare
+        # 'linear' op round-trips to dense for its full-channel matmul.
+        split = self.grouped_impl == 'pallas_split' and self.groups > 1
         outputs = [x]
         for nidx, node in enumerate(self.arch_desc):
             op_name, *branches = node
@@ -76,7 +80,14 @@ class SearchCell(nn.Module):
                          name=f'node{nidx}_{op_name}', groups=self.groups,
                          init_scheme=self.init_scheme,
                          grouped_impl=self.grouped_impl)
-            total = op(outputs[-1], train=train) if op is not None else None
+            if op is None:
+                total = None
+            elif split and op_name == 'linear':
+                from ..ops.cell_ops import to_split, from_split
+                total = to_split(op(from_split(outputs[-1]), train=train),
+                                 self.groups)
+            else:
+                total = op(outputs[-1], train=train)
             for j, bit in enumerate(branches):
                 if bit:
                     total = outputs[j] if total is None else total + outputs[j]
@@ -85,5 +96,8 @@ class SearchCell(nn.Module):
             outputs.append(total)
         out = outputs[-1]
         if self.use_norm:
-            out = nn.LayerNorm(epsilon=norm_eps, name='norm')(out)
+            if split:
+                out = SplitLayerNorm(epsilon=norm_eps, name='norm')(out)
+            else:
+                out = nn.LayerNorm(epsilon=norm_eps, name='norm')(out)
         return out

@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ['PadConvRelu', 'LinearRelu', 'MeanVarianceNorm', 'relu20',
-           'FUTURE_CONTEXT', 'conv_padding', 'norm_eps']
+__all__ = ['PadConvRelu', 'LinearRelu', 'MeanVarianceNorm', 'SplitLayerNorm',
+           'relu20', 'FUTURE_CONTEXT', 'conv_padding', 'norm_eps']
 
 #: 4 frames of look-ahead = 40 ms (reference model/tf/ops.py:3).
 FUTURE_CONTEXT = 4
@@ -110,6 +110,26 @@ class PadConvRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         lpad, rpad = conv_padding(self.kernel_size, self.dilation, self.strides)
+        if self.grouped_impl == 'pallas_split' and self.groups > 1:
+            # x is split-layout [B, ci, T, G] (see ops/cell_ops.py); the
+            # conv, bias and clip-ReLU run fused in one Pallas kernel and
+            # the result stays in split layout — no transposes.
+            if self.strides != 1:
+                raise ValueError('pallas_split grouped conv is stride-1 only')
+            from ..ops.cell_ops import grouped_conv_relu
+            cin = x.shape[1]
+            kernel = self.param('conv_kernel_grouped', self._kernel_init(),
+                                (self.kernel_size, cin, self.filters),
+                                jnp.float32)
+            bias = self.param('conv_bias', nn.initializers.zeros,
+                              (self.filters,), jnp.float32)
+            y = grouped_conv_relu(x, kernel.astype(x.dtype),
+                                  bias.astype(x.dtype), self.groups,
+                                  lpad, rpad, self.dilation)
+            if self.dropout_rate:
+                y = nn.Dropout(self.dropout_rate,
+                               deterministic=not train)(y)
+            return y
         in_features = x.shape[-1]
         if self.grouped_impl == 'pallas' and self.groups > 1:
             if self.strides != 1:
@@ -178,6 +198,34 @@ class LinearRelu(nn.Module):
         if self.dropout_rate:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
+
+
+class SplitLayerNorm(nn.Module):
+    """LayerNorm over the channel axis of a split-layout ``[B, c, T, G]``
+    tensor (channel = axes 1 and 3 jointly).
+
+    Parameter names and shapes match ``nn.LayerNorm`` on the equivalent
+    dense ``[B, T, C]`` tensor, so checkpoints are interchangeable with the
+    dense path; ``scale``/``bias`` index dense channels group-major
+    (``c_full = g * c + c_in``).
+    """
+
+    epsilon: float = norm_eps
+
+    @nn.compact
+    def __call__(self, xs):
+        B, c, T, G = xs.shape
+        scale = self.param('scale', nn.initializers.ones, (c * G,),
+                           jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c * G,),
+                          jnp.float32)
+        xf = xs.astype(jnp.float32)
+        mu = xf.mean(axis=(1, 3), keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=(1, 3), keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        s = scale.reshape(G, c).T[None, :, None, :]
+        b = bias.reshape(G, c).T[None, :, None, :]
+        return (y * s + b).astype(xs.dtype)
 
 
 class MeanVarianceNorm(nn.Module):

@@ -45,11 +45,28 @@ def main():
                         choices=['float32', 'bfloat16'],
                         help='encoder compute dtype (bfloat16 is ~10-50x '
                              'faster on TPU; float32 matches the reference)')
+    parser.add_argument('--grouped_impl', type=str, default='auto',
+                        choices=['auto', 'native', 'masked_dense', 'pallas',
+                                 'pallas_split'],
+                        help='grouped-conv implementation for the cell ops')
+    parser.add_argument('--matmul_precision', type=str, default=None,
+                        choices=['default', 'high', 'highest'],
+                        help='XLA dot/conv precision for f32 operands; '
+                             'defaults to "highest" for --dtype float32 '
+                             '(reference-parity numerics: the TPU MXU and '
+                             'the XLA CPU conv otherwise use reduced-'
+                             'precision passes) and "default" for bfloat16')
     args = parser.parse_args()
 
     if args.platform:
         import jax
         jax.config.update('jax_platforms', args.platform)
+
+    precision = args.matmul_precision or (
+        'highest' if args.dtype == 'float32' else 'default')
+    if precision != 'default':
+        import jax
+        jax.config.update('jax_default_matmul_precision', precision)
 
     import nbasr_tpu
     from nbasr_tpu.training import get_dataloaders, get_loss
@@ -73,7 +90,8 @@ def main():
     import jax.numpy as jnp
     model = nbasr_tpu.get_model(
         arch, use_rnn=args.rnn, dropout_rate=args.dropout, data_norm=True,
-        compute_dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32)
+        compute_dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
+        grouped_impl=args.grouped_impl)
 
     if args.dp or args.tp > 1:
         from nbasr_tpu.parallel import ParallelTrainer, make_mesh
