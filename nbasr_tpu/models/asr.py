@@ -73,49 +73,69 @@ class ASRModel(nn.Module):
         return cls(arch_desc=tuple(map(tuple, arch_vec_to_names(arch_vec))), **kwargs)
 
     @nn.compact
-    def __call__(self, features, feature_size=None, train=False):
-        """[B, T, 80] features (+ true frame counts) -> [B, ceil(T/4), C+1] logits."""
-        x = features.astype(self.compute_dtype)
-        mask = None
-        if feature_size is not None:
-            t = jnp.arange(x.shape[1])[None, :]
-            mask = t < feature_size[:, None]
-            x = jnp.where(mask[..., None], x, 0.0)  # Masking layer semantics
+    def __call__(self, features, feature_size=None, train=False, mask=None,
+                 stage='full', rnn_carry=None, return_rnn_carry=False):
+        """[B, T, 80] features (+ true frame counts) -> [B, ceil(T/4), C+1] logits.
 
-        if self.data_mean is not None:
-            x = MeanVarianceNorm(jnp.asarray(self.data_mean),
-                                 jnp.asarray(self.data_variance),
-                                 name='data_norm')(x, mask=mask)
+        ``mask`` overrides the mask derived from ``feature_size`` (used by
+        the sequence-parallel runner, whose local chunks need masks built
+        from *global* frame positions).  ``stage`` splits the model for
+        time-sharded execution: ``'encode'`` returns the conv-block output,
+        ``'head'`` treats ``features`` as that output and runs the
+        LSTM+Dense head (``rnn_carry``/``return_rnn_carry`` thread the LSTM
+        (c, h) state across sequence shards).  ``'full'`` is the normal
+        end-to-end path.
+        """
+        if stage not in ('full', 'encode', 'head'):
+            raise ValueError(f'unknown stage: {stage!r}')
+        x = features
+        if stage != 'head':
+            x = features.astype(self.compute_dtype)
+            if mask is None and feature_size is not None:
+                t = jnp.arange(x.shape[1])[None, :]
+                mask = t < feature_size[:, None]
+            if mask is not None:
+                x = jnp.where(mask[..., None], x, 0.0)  # Masking semantics
 
-        # In 'pallas_split' mode each block's cell stack runs in the split
-        # layout [B, c, T, G] (see ops/cell_ops.py): one to_split/from_split
-        # pair per block instead of layout transposes around every conv op.
-        split = self.grouped_impl == 'pallas_split' and self.cell_groups > 1
-        if split:
-            from ..ops.cell_ops import to_split, from_split
+            if self.data_mean is not None:
+                x = MeanVarianceNorm(jnp.asarray(self.data_mean),
+                                     jnp.asarray(self.data_variance),
+                                     name='data_norm')(x, mask=mask)
 
-        specs = zip(self.block_kernels, self.block_strides, self.block_filters,
-                    self.cells_per_block)
-        for i, (kernel, stride, filters, cells) in enumerate(specs):
-            x = PadConvRelu(filters, kernel_size=kernel, strides=stride,
-                            init_scheme=self.init_scheme,
-                            name=f'block{i}_conv')(x, train=train)
-            x = nn.LayerNorm(epsilon=norm_eps, name=f'block{i}_norm')(x)
+            # In 'pallas_split' mode each block's cell stack runs in the
+            # split layout [B, c, T, G] (see ops/cell_ops.py): one
+            # to_split/from_split pair per block instead of layout
+            # transposes around every conv op.
+            split = (self.grouped_impl == 'pallas_split'
+                     and self.cell_groups > 1)
             if split:
-                x = to_split(x, self.cell_groups)
-            cell_cls = (nn.remat(SearchCell, static_argnums=(2,))
-                        if self.remat_cells else SearchCell)
-            for j in range(cells):
-                x = cell_cls(filters=filters, arch_desc=self.arch_desc,
-                             dropout_rate=self.cell_dropout,
-                             use_norm=self.use_norm,
-                             groups=self.cell_groups,
-                             init_scheme=self.init_scheme,
-                             grouped_impl=self.grouped_impl,
-                             name=f'block{i}_cell{j}')(x, train)
-            if split:
-                x = from_split(x)
+                from ..ops.cell_ops import to_split, from_split
 
+            specs = zip(self.block_kernels, self.block_strides,
+                        self.block_filters, self.cells_per_block)
+            for i, (kernel, stride, filters, cells) in enumerate(specs):
+                x = PadConvRelu(filters, kernel_size=kernel, strides=stride,
+                                init_scheme=self.init_scheme,
+                                name=f'block{i}_conv')(x, train=train)
+                x = nn.LayerNorm(epsilon=norm_eps, name=f'block{i}_norm')(x)
+                if split:
+                    x = to_split(x, self.cell_groups)
+                cell_cls = (nn.remat(SearchCell, static_argnums=(2,))
+                            if self.remat_cells else SearchCell)
+                for j in range(cells):
+                    x = cell_cls(filters=filters, arch_desc=self.arch_desc,
+                                 dropout_rate=self.cell_dropout,
+                                 use_norm=self.use_norm,
+                                 groups=self.cell_groups,
+                                 init_scheme=self.init_scheme,
+                                 grouped_impl=self.grouped_impl,
+                                 name=f'block{i}_cell{j}')(x, train)
+                if split:
+                    x = from_split(x)
+            if stage == 'encode':
+                return x
+
+        carry = None
         if self.use_rnn:
             if self.dropout_rate:
                 # Keras LSTM(dropout=r) drops the input transform with one
@@ -125,13 +145,15 @@ class ASRModel(nn.Module):
                 x = nn.Dropout(self.dropout_rate, deterministic=not train,
                                broadcast_dims=(1,))(x)
             from .lstm import FastLSTM
-            x = FastLSTM(self.rnn_units, compute_dtype=self.compute_dtype,
-                         name='lstm')(x)
+            x, carry = FastLSTM(self.rnn_units,
+                                compute_dtype=self.compute_dtype,
+                                name='lstm')(x, initial_carry=rnn_carry,
+                                             return_carry=True)
 
         x = nn.Dense(self.num_classes + 1, name='head',
                      kernel_init=nn.initializers.xavier_uniform())(
                          x.astype(jnp.float32))
-        return x
+        return (x, carry) if return_rnn_carry else x
 
 
 def logits_length(feature_size, t_in, t_out):

@@ -39,7 +39,9 @@ class FastLSTM(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, initial_carry=None, return_carry=False):
+        """[B, T, F] -> [B, T, H]; optionally seed/return the (c, h) carry
+        (used by the sequence-parallel cross-shard LSTM chain)."""
         B, T, F = x.shape
         H = self.hidden
         kernel = self.param('kernel', nn.initializers.xavier_uniform(),
@@ -63,7 +65,11 @@ class FastLSTM(nn.Module):
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (c, h), h
 
-        init = (jnp.zeros((B, H), dt), jnp.zeros((B, H), dt))
-        _, hs = jax.lax.scan(step, init, xw.transpose(1, 0, 2),
-                             unroll=self.unroll)
-        return hs.transpose(1, 0, 2)
+        if initial_carry is None:
+            init = (jnp.zeros((B, H), dt), jnp.zeros((B, H), dt))
+        else:
+            init = jax.tree.map(lambda c: c.astype(dt), initial_carry)
+        carry, hs = jax.lax.scan(step, init, xw.transpose(1, 0, 2),
+                                 unroll=self.unroll)
+        out = hs.transpose(1, 0, 2)
+        return (out, carry) if return_carry else out
