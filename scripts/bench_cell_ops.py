@@ -19,14 +19,7 @@ BLOCKS = [('b0', 6, 470), ('b1', 8, 470), ('b2', 10, 235), ('b3', 12, 118)]
 K, G, B = 5, 100, 32
 
 
-def timed(fn, *args, n=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
+from _timing import timed  # noqa: E402
 
 
 def main(dtype=jnp.float32):

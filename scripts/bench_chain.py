@@ -20,14 +20,7 @@ B, ci, T, G, K = 32, 8, 470, 100, 5
 N = 12
 
 
-def timed(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
+from _timing import timed  # noqa: E402
 
 
 def main(dtype):

@@ -19,14 +19,7 @@ IMPL = sys.argv[1] if len(sys.argv) > 1 else 'pallas_split'
 TRAIN = '--train' in sys.argv  # dropout active
 
 
-def timed(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
+from _timing import timed  # noqa: E402
 
 
 def main():
