@@ -177,7 +177,12 @@ class StreamingASR:
         n_valid = (np.full(self.B, audio.shape[1], np.int64)
                    if n_valid is None else np.asarray(n_valid, np.int64))
         base = self._sample_base + self._samples.shape[1]
-        self._valid_samples = np.maximum(self._valid_samples, base + n_valid)
+        # Only rows with new valid samples advance their valid end: a block
+        # with n_valid == 0 says nothing about validity up to `base` (the
+        # stream already ended), it must not extend the mask.
+        self._valid_samples = np.where(
+            n_valid > 0, np.maximum(self._valid_samples, base + n_valid),
+            self._valid_samples)
         self._samples = np.concatenate([self._samples, audio], axis=1)
 
         cfg = self.frontend

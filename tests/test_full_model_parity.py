@@ -16,6 +16,14 @@ from nbasr_tpu.models import get_model
 torch = pytest.importorskip('torch')
 
 
+@pytest.fixture(autouse=True)
+def _highest_precision():
+    # Pin full-precision convs: XLA's default CPU conv path carries ~3e-3
+    # relative error that varies with compilation context (order-flaky).
+    with jax.default_matmul_precision('highest'):
+        yield
+
+
 def _load_ref_torch():
     import importlib.util, sys, types, pathlib
     ref = pathlib.Path('/root/reference/nasbench_asr/model/torch')
