@@ -166,19 +166,33 @@ class Loader:
                 'labels': labels, 'label_size': label_size, 'valid': valid}
 
     def __iter__(self):
-        """One full pass (one epoch) of statically-shaped batches."""
+        """One full pass (one epoch) of statically-shaped batches.
+
+        When shuffling, ready batches from different buckets are
+        *interleaved* in random order (matching the reference's
+        ``bucket_by_sequence_length`` behaviour,
+        ``cache_shard_shuffle_batch.py:68-83``) — a strictly
+        bucket-ordered epoch would make batch order length-correlated,
+        a systematic training-dynamics deviation.
+        """
         order = np.array(self.indices)
         buckets = self.bucket_of
+        rng = None
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self._epoch)
             perm = rng.permutation(len(order))
             order, buckets = order[perm], buckets[perm]
             self._epoch += 1
+        batches = []  # (bucket, row-index array)
         for b in range(len(self.batch_sizes)):
             rows = order[buckets == b]
             bs = self.batch_sizes[b]
             for start in range(0, len(rows), bs):
-                yield self._make_batch(rows[start:start + bs], b)
+                batches.append((b, rows[start:start + bs]))
+        if rng is not None:
+            rng.shuffle(batches)
+        for b, rows in batches:
+            yield self._make_batch(rows, b)
 
     def __len__(self):
         return self.steps

@@ -69,7 +69,8 @@ class Trainer:
                  verbose=True, frontend=None, eval_decoder='beam',
                  beam_width=12, strict_numerics=False, decay=0.9,
                  decay_start_epoch=5, clip_norm=5.0, adam_eps=1e-7,
-                 profile_dir=None, profile_steps=0):
+                 profile_dir=None, profile_steps=0, tensorboard=True,
+                 tb_step_interval=10):
         encoder, data_train, data_validate, data_test = dataloaders
         self.encoder = encoder
         self.data_train = data_train
@@ -97,6 +98,12 @@ class Trainer:
         #: TensorBoard ``profile_batch`` hook, training/tf/main.py:92-97)
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
+        #: TensorBoard scalars (reference callbacks/tensorboard.py:16-28):
+        #: per-epoch metrics + running train loss every ``tb_step_interval``
+        #: steps, written with the dependency-free utils.tbwriter.  Active
+        #: only when ``save_dir`` is set.
+        self.tensorboard = tensorboard
+        self.tb_step_interval = tb_step_interval
 
         if isinstance(encoder, PhonemeEncoder):
             self.fold_table = jnp.asarray(encoder.fold_table(39))
@@ -110,6 +117,7 @@ class Trainer:
         self._stats = None
         self._train_step = None
         self._eval_step = None
+        self._decode_step = None
 
     # ------------------------------------------------------------------
     # functional core
@@ -182,6 +190,7 @@ class Trainer:
 
         self._train_step = self._jit_train_step(train_step)
         self._eval_step = self._jit_eval_step(eval_step)
+        self._decode_step = None  # lazily rebuilt for the new model
 
     # Overridable jit/placement hooks (ParallelTrainer shards here).
     def _jit_train_step(self, fn):
@@ -282,6 +291,11 @@ class Trainer:
                   else forever(self.data_train))
         nonfinite_seen = 0
 
+        tb = None
+        if out_dir is not None and self.tensorboard:
+            from ..utils.tbwriter import SummaryWriter
+            tb = SummaryWriter(str(out_dir / 'tb'))
+
         for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             epoch_lr = lr_at_epoch(lr, epoch, self.decay, self.decay_start_epoch)
@@ -295,6 +309,13 @@ class Trainer:
                 batch = self._put_batch(next(stream))
                 self.state = self._train_step(self.state, batch,
                                               jnp.float32(epoch_lr))
+                if (tb is not None and self.tb_step_interval
+                        and (step_i + 1) % self.tb_step_interval == 0):
+                    # running epoch-mean train loss, like the reference's
+                    # every-10-batches scalar (callbacks/tensorboard.py:19-22)
+                    tb.scalar('batch_ctc_loss',
+                              ratios(self.state.metrics)['ctc_loss'],
+                              step=int(self.state.step))
                 if profiling and step_i == min(self.profile_steps,
                                                steps_per_epoch - 1):
                     jax.block_until_ready(self.state.params)
@@ -326,6 +347,13 @@ class Trainer:
                     self.save(best_ckpt, epoch=epoch, best_val=best_val)
             if latest_ckpt:
                 self.save(latest_ckpt, epoch=epoch, best_val=best_val)
+            if tb is not None:  # per-epoch scalars (ref tensorboard.py:24-28)
+                tb.scalars({'epoch_ctc_loss': train_m['ctc_loss'],
+                            'epoch_val_ctc_loss': val_m['ctc_loss'],
+                            'epoch_val_wer': val_m['wer'],
+                            'epoch_val_ler': val_m['ler'],
+                            'lr': epoch_lr}, step=epoch)
+                tb.flush()
             if out_dir:  # streaming per-epoch JSONL (tensorboard-free observability)
                 with open(out_dir / 'metrics.jsonl', 'a') as f:
                     f.write(json.dumps({
@@ -341,6 +369,8 @@ class Trainer:
                       f'val_per {val_m["ler"]:.4f} lr {epoch_lr:.2e} '
                       f'({history["epoch_seconds"][-1]:.1f}s)')
 
+        if tb is not None:
+            tb.close()
         self.recall_best()
         test_m = self.evaluate(self.data_test)
         test_scores = {f'val_{k}': v for k, v in test_m.items()}
@@ -354,13 +384,55 @@ class Trainer:
                 pickle.dump(test_scores, f)
         return history, test_scores
 
-    def evaluate(self, loader):
-        """Run eval over a loader; returns {'ctc_loss', 'wer', 'ler'} ratios."""
+    def evaluate(self, loader, return_transcripts=0):
+        """Run eval over a loader; returns {'ctc_loss', 'wer', 'ler'} ratios.
+
+        ``return_transcripts=N`` additionally decodes the first N
+        utterances of the first batch to phoneme sentences (hypothesis and
+        reference), mirroring the reference's in-eval sentence decoding
+        (``training/tf/trainer.py:493-500``); returns ``(ratios, list of
+        (hyp_sentence, ref_sentence))``.
+        """
         acc = zeros_like_metrics()
+        transcripts = []
         for batch in loader:
             batch = self._put_batch(batch)
+            if return_transcripts and not transcripts:
+                transcripts = self.transcribe(batch, limit=return_transcripts)
             acc = self._eval_step(self.state.params, batch, acc)
+        if return_transcripts:
+            return ratios(acc), transcripts
         return ratios(acc)
+
+    def transcribe(self, batch, limit=None):
+        """Decode a batch to (hypothesis, reference) phoneme sentences."""
+        batch = self._put_batch(batch)
+        if self._decode_step is None:
+            model = self.model
+
+            def decode_step(params, batch):
+                feats, fsize = self._features(batch)
+                logits = model.apply(self._variables(params), feats, fsize,
+                                     train=False)
+                lsize = logits_length(fsize, feats.shape[1], logits.shape[1])
+                if self.eval_decoder == 'beam':
+                    return beam_search_decode(logits, lsize,
+                                              beam_width=self.beam_width)
+                return greedy_decode(logits, lsize)
+
+            self._decode_step = jax.jit(decode_step)
+        hyp, hyp_len = jax.device_get(
+            self._decode_step(self.state.params, batch))
+        out = []
+        n = len(hyp) if limit is None else min(limit, len(hyp))
+        for b in range(n):
+            if not float(batch['valid'][b]):
+                continue
+            hyp_ids = hyp[b][:int(hyp_len[b])]
+            ref_ids = np.asarray(batch['labels'][b][:int(batch['label_size'][b])])
+            out.append((self.encoder.decode_to_sentence(hyp_ids),
+                        self.encoder.decode_to_sentence(ref_ids)))
+        return out
 
     def step(self, batch, training=True, lr=1e-4):
         """Single step on a batch (reference Trainer.step contract)."""
