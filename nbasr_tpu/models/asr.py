@@ -67,6 +67,19 @@ class ASRModel(nn.Module):
     #: trades ~35% more FLOPs for O(cells) less activation memory — enables
     #: much larger batch/sequence products per chip.
     remat_cells: bool = False
+    # --- TF-backend quirk ablation toggles (SURVEY.md §2.2) ------------
+    # The published dataset numbers come from the shipped TF backend,
+    # which differs from the canonical graph semantics in three ways; all
+    # three are reproducible for PER-parity ablations:
+    #: 'canonical' | 'tf_inverted' (model/tf/ops.py:87 wires skip edges
+    #: where the arch vector says 0)
+    branch_semantics: str = 'canonical'
+    #: False = drop dilation like the TF backend (model/tf/ops.py:24)
+    apply_dilation: bool = True
+    #: 'torch' | 'tf' pad formula (model/tf/ops.py:16-21 vs torch/ops.py:12-17)
+    pad_math: str = 'torch'
+    #: LayerNorm / data-norm epsilon (Keras default and torch both 1e-3)
+    norm_epsilon: float = norm_eps
 
     @classmethod
     def from_arch_vec(cls, arch_vec, **kwargs):
@@ -100,6 +113,7 @@ class ASRModel(nn.Module):
             if self.data_mean is not None:
                 x = MeanVarianceNorm(jnp.asarray(self.data_mean),
                                      jnp.asarray(self.data_variance),
+                                     epsilon=self.norm_epsilon,
                                      name='data_norm')(x, mask=mask)
 
             # In 'pallas_split' mode each block's cell stack runs in the
@@ -116,8 +130,10 @@ class ASRModel(nn.Module):
             for i, (kernel, stride, filters, cells) in enumerate(specs):
                 x = PadConvRelu(filters, kernel_size=kernel, strides=stride,
                                 init_scheme=self.init_scheme,
+                                pad_math=self.pad_math,
                                 name=f'block{i}_conv')(x, train=train)
-                x = nn.LayerNorm(epsilon=norm_eps, name=f'block{i}_norm')(x)
+                x = nn.LayerNorm(epsilon=self.norm_epsilon,
+                                 name=f'block{i}_norm')(x)
                 if split:
                     x = to_split(x, self.cell_groups)
                 cell_cls = (nn.remat(SearchCell, static_argnums=(2,))
@@ -129,6 +145,10 @@ class ASRModel(nn.Module):
                                  groups=self.cell_groups,
                                  init_scheme=self.init_scheme,
                                  grouped_impl=self.grouped_impl,
+                                 branch_semantics=self.branch_semantics,
+                                 apply_dilation=self.apply_dilation,
+                                 pad_math=self.pad_math,
+                                 norm_epsilon=self.norm_epsilon,
                                  name=f'block{i}_cell{j}')(x, train)
                 if split:
                     x = from_split(x)

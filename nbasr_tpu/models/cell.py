@@ -26,11 +26,15 @@ CELL_DROPOUT = 0.2
 
 
 def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100,
-            init_scheme='reference', grouped_impl='auto'):
+            init_scheme='reference', grouped_impl='auto', apply_dilation=True,
+            pad_math='torch'):
     """Instantiate a cell op by name (reference op table tf/ops.py:69-76).
 
     ``groups`` is 100 in the reference; it is configurable here so scaled
     model variants (and fast tests) can use narrower cells.
+    ``apply_dilation=False`` reproduces the shipped TF backend, which
+    accepts the dilation argument but never passes it to the conv
+    (``model/tf/ops.py:24``) — ``conv5d2`` degenerates to ``conv5``.
     """
     convs = {
         'conv5': dict(kernel_size=5, dilation=1),
@@ -42,10 +46,13 @@ def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100,
         return LinearRelu(filters, dropout_rate=dropout_rate, name=name,
                           init_scheme=init_scheme)
     if op_name in convs:
+        kw = dict(convs[op_name])
+        if not apply_dilation:
+            kw['dilation'] = 1
         return PadConvRelu(filters, strides=1, groups=groups,
                            dropout_rate=dropout_rate, name=name,
                            init_scheme=init_scheme, grouped_impl=grouped_impl,
-                           **convs[op_name])
+                           pad_math=pad_math, **kw)
     if op_name == 'zero':
         return None  # contributes nothing; handled by the caller
     raise ValueError(f'Unknown op: {op_name!r}')
@@ -66,9 +73,19 @@ class SearchCell(nn.Module):
     groups: int = 100
     init_scheme: str = 'reference'
     grouped_impl: str = 'auto'
+    #: 'canonical' (bit 1 = skip edge, matching the hash graph / torch /
+    #: paper) or 'tf_inverted' (the shipped TF backend's BRANCH_OPS_LIST =
+    #: [skip, none], model/tf/ops.py:87 — bit 0 wires the edge).
+    branch_semantics: str = 'canonical'
+    apply_dilation: bool = True
+    pad_math: str = 'torch'
+    norm_epsilon: float = norm_eps
 
     @nn.compact
     def __call__(self, x, train=False):
+        if self.branch_semantics not in ('canonical', 'tf_inverted'):
+            raise ValueError(f'unknown branch_semantics: '
+                             f'{self.branch_semantics!r}')
         # In 'pallas_split' mode the cell's input/output (and every
         # intermediate) live in split layout [B, c, T, G]; only the rare
         # 'linear' op round-trips to dense for its full-channel matmul.
@@ -79,7 +96,9 @@ class SearchCell(nn.Module):
             op = make_op(op_name, self.filters, self.dropout_rate,
                          name=f'node{nidx}_{op_name}', groups=self.groups,
                          init_scheme=self.init_scheme,
-                         grouped_impl=self.grouped_impl)
+                         grouped_impl=self.grouped_impl,
+                         apply_dilation=self.apply_dilation,
+                         pad_math=self.pad_math)
             if op is None:
                 total = None
             elif split and op_name == 'linear':
@@ -88,8 +107,9 @@ class SearchCell(nn.Module):
                                  self.groups)
             else:
                 total = op(outputs[-1], train=train)
+            live = 0 if self.branch_semantics == 'tf_inverted' else 1
             for j, bit in enumerate(branches):
-                if bit:
+                if bit == live:
                     total = outputs[j] if total is None else total + outputs[j]
             if total is None:  # zero op and no live branches
                 total = outputs[-1] * 0.0
@@ -97,7 +117,8 @@ class SearchCell(nn.Module):
         out = outputs[-1]
         if self.use_norm:
             if split:
-                out = SplitLayerNorm(epsilon=norm_eps, name='norm')(out)
+                out = SplitLayerNorm(epsilon=self.norm_epsilon,
+                                     name='norm')(out)
             else:
-                out = nn.LayerNorm(epsilon=norm_eps, name='norm')(out)
+                out = nn.LayerNorm(epsilon=self.norm_epsilon, name='norm')(out)
         return out

@@ -38,14 +38,32 @@ def relu20(x):
     return jnp.clip(x, 0.0, 20.0)
 
 
-def conv_padding(kernel_size, dilation, strides, context=FUTURE_CONTEXT):
+def conv_padding(kernel_size, dilation, strides, context=FUTURE_CONTEXT,
+                 pad_math='torch'):
     """(left, right) time padding for :class:`PadConvRelu`.
 
     Right padding is capped at ``context // strides`` frames of look-ahead;
     the remainder of the receptive field is left padding (reference
     ``model/torch/ops.py:12-17``, which correctly scales by dilation).
     The output length equals ``ceil(T / strides)``.
+
+    ``pad_math='tf'`` reproduces the shipped TF backend's formula
+    (``model/tf/ops.py:16-21``), which ignores dilation — identical to the
+    torch math at dilation 1, and only meaningful together with the TF
+    backend's dropped dilation (``apply_dilation=False``); the published
+    dataset numbers come from exactly that combination.
     """
+    if pad_math == 'tf':
+        if dilation != 1:
+            raise ValueError(
+                "pad_math='tf' pads for an undilated conv; combine it with "
+                "apply_dilation=False (the TF backend drops dilation, "
+                "model/tf/ops.py:24) or shapes will not line up")
+        span = kernel_size - strides
+        if context // strides >= span:
+            return 0, span
+        rpad = context // strides
+        return kernel_size - 1 - rpad, rpad
     span = kernel_size * dilation - strides
     if context // strides >= span:
         return 0, span
@@ -57,21 +75,31 @@ class PadConvRelu(nn.Module):
     """Pad → grouped Conv1D → clip-ReLU(20) → dropout.
 
     TPU performance note: the reference's cell convs use ``groups=100``
-    with only 6–12 channels per group (``model/tf/ops.py:69-76``), which
-    maps poorly onto the 128-lane MXU (each group's matmul pads 6 → 128
-    lanes).  Three implementations are provided; measured on a v5e with the
-    flagship model (B=32, ~470 frames, full train step):
+    with only 6–12 channels per group (``model/tf/ops.py:69-76``).  No
+    naive mapping fits the hardware — measured on a v5e with the flagship
+    model (B=32, full train step):
 
-      - ``'native'``  — XLA ``feature_group_count`` conv: 95 ms/step,
-      - ``'masked_dense'`` — dense conv with a block-diagonal-masked kernel
-        (mathematically identical, 100× redundant FLOPs on the MXU):
-        139 ms/step — the FLOP overhead loses to the layout win,
-      - a Pallas kernel with groups on the VPU lane axis (see
-        ops/grouped_conv.py) — the intended fast path.
+      - ``'native'`` — XLA ``feature_group_count=100`` conv: 100 matmuls
+        whose 6-wide operands pad to 128 MXU lanes (95 ms/step),
+      - ``'masked_dense'`` — one dense conv with a block-diagonal-masked
+        kernel: 100× redundant FLOPs (139 ms/step),
+      - ``'pallas'`` / ``'pallas_split'`` — Pallas kernels with groups on
+        the VPU's 128 lanes (ops/grouped_conv.py, ops/cell_ops.py): VPU
+        *compute*-bound at ~0.5 ms/op — the VPU's ~2 TFLOP/s is 100× below
+        the MXU (84 ms/step),
+      - ``'chunked'`` — **the fast path**: split the 100 groups into S
+        super-groups of ``Gc = groups/S`` and run ONE XLA conv with
+        ``feature_group_count=S`` whose per-chunk kernels are
+        block-diagonal over their Gc groups.  Choosing Gc so that
+        ``Gc*ci ≈ Gc*co ≈ 128`` makes every per-chunk matmul a full MXU
+        tile: only ~Gc× redundant FLOPs (vs 100× for masked_dense) at
+        ~full MXU occupancy (vs ~5% for native).  ~5 GFLOP/op on the MXU
+        ≈ tens of µs; pure XLA, so pad/ReLU/dropout fuse and autodiff
+        produces equally-shaped backward convs.
 
-    ``grouped_impl='auto'`` currently selects ``'native'``; parameters are
-    stored in the compact grouped layout for every impl, so checkpoints and
-    param counts are unaffected by the choice.
+    ``grouped_impl='auto'`` selects ``'chunked'``; parameters are stored in
+    the compact grouped layout ``[K, ci, C_out]`` for every impl, so
+    checkpoints and param counts are unaffected by the choice.
     """
 
     filters: int
@@ -81,6 +109,9 @@ class PadConvRelu(nn.Module):
     groups: int = 1
     dropout_rate: float = 0.0
     grouped_impl: str = 'auto'  # 'auto' | 'native' | 'masked_dense'
+    #: 'torch' (canonical, dilation-aware) or 'tf' (the shipped TF
+    #: backend's dilation-blind formula, model/tf/ops.py:16-21).
+    pad_math: str = 'torch'
     #: 'reference' = Keras/torch glorot with their (all-groups) fan_out —
     #: faithful to the reference, but NB: on grouped convs this shrinks
     #: activations ~10x per layer and the network starts numerically
@@ -98,18 +129,28 @@ class PadConvRelu(nn.Module):
             return nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
         return nn.initializers.xavier_uniform()
 
-    def _use_masked_dense(self, in_features):
+    def _resolved_impl(self):
         if self.groups == 1:
-            return False
-        if self.grouped_impl == 'native':
-            return False
-        if self.grouped_impl == 'masked_dense':
-            return True
-        return False  # 'auto': native XLA grouped conv (see class docstring)
+            return 'native'
+        if self.grouped_impl == 'auto':
+            return 'chunked'  # measured-best (see class docstring)
+        return self.grouped_impl
+
+    @staticmethod
+    def chunk_count(groups, cin, cout):
+        """Super-group count for the chunked impl: the divisor of ``groups``
+        minimising padded-MXU-tile cost (#chunks × 128-padded K/N tiles)."""
+        def cost(s):
+            gc = groups // s
+            tiles = -(-gc * cin // 128) * -(-gc * cout // 128)
+            return (s * tiles, s)  # tie -> fewer, larger matmuls
+        return min((s for s in range(1, groups + 1) if groups % s == 0),
+                   key=cost)
 
     @nn.compact
     def __call__(self, x, train=False):
-        lpad, rpad = conv_padding(self.kernel_size, self.dilation, self.strides)
+        lpad, rpad = conv_padding(self.kernel_size, self.dilation,
+                                  self.strides, pad_math=self.pad_math)
         if self.grouped_impl == 'pallas_split' and self.groups > 1:
             # x is split-layout [B, ci, T, G] (see ops/cell_ops.py); the
             # conv, bias and clip-ReLU run fused in one Pallas kernel and
@@ -131,7 +172,33 @@ class PadConvRelu(nn.Module):
                                deterministic=not train)(y)
             return y
         in_features = x.shape[-1]
-        if self.grouped_impl == 'pallas' and self.groups > 1:
+        impl = self._resolved_impl()
+        if impl == 'chunked' and self.groups > 1:
+            cin = in_features // self.groups
+            co = self.filters // self.groups
+            kernel = self.param('conv_kernel_grouped', self._kernel_init(),
+                                (self.kernel_size, cin, self.filters),
+                                jnp.float32)
+            bias = self.param('conv_bias', nn.initializers.zeros,
+                              (self.filters,), jnp.float32)
+            S = self.chunk_count(self.groups, cin, co)
+            Gc = self.groups // S
+            # Expand compact [K, ci, G*co] -> chunked [K, Gc*ci, C_out]:
+            # chunk s's kernel is block-diagonal over its Gc groups (local
+            # in-slot h contributes to group g of the chunk iff h == g).
+            kg = kernel.reshape(self.kernel_size, cin, S, Gc, co)
+            eye = jnp.eye(Gc, dtype=kernel.dtype)
+            w = jnp.einsum('kcsgo,gh->khcsgo', kg, eye).reshape(
+                self.kernel_size, Gc * cin, self.filters)
+            y = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype),
+                window_strides=(self.strides,),
+                padding=[(lpad, rpad)],
+                rhs_dilation=(self.dilation,),
+                feature_group_count=S,
+                dimension_numbers=('NWC', 'WIO', 'NWC'))
+            x = y + bias.astype(y.dtype)
+        elif self.grouped_impl == 'pallas' and self.groups > 1:
             if self.strides != 1:
                 raise ValueError('pallas grouped conv supports stride 1 only')
             from ..ops.grouped_conv import grouped_conv1d
@@ -144,7 +211,7 @@ class PadConvRelu(nn.Module):
             y = grouped_conv1d(x, kernel.astype(x.dtype), self.groups,
                                lpad, rpad, self.dilation)
             x = y + bias.astype(y.dtype)
-        elif self._use_masked_dense(in_features):
+        elif impl == 'masked_dense':
             cin = in_features // self.groups
             cout = self.filters // self.groups
             kernel = self.param(
