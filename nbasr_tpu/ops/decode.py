@@ -69,6 +69,18 @@ def beam_search_decode(logits, logit_len, beam_width=12, max_len=None, blank=0):
     the standard p_blank/p_nonblank decomposition; ties and merges match
     the canonical prefix-beam-search algorithm used by the reference's
     decoders (beam_width=12 in the trainer, ``tf/trainer.py:102``).
+
+    Design (TPU): the scan carries only O(W) scalars per beam — no prefix
+    arrays.  Prefix merging exploits structure instead of sorting all
+    ``W·V`` candidates: beam entries are pairwise-distinct prefixes, so
+    extends are pairwise distinct and the *only* possible collision is
+    ``extend(w, c) == stay(w')`` with ``prefix_w' = prefix_w + c``.  Those
+    are found with an O(W²) parent-hash match (each entry carries the hash
+    of its prefix *minus its last char*), merged into the stay, and the
+    matched extends masked out — then a single ``top_k`` replaces the old
+    5-operand lexsort + segmented scan (~10× leaner per step, and the
+    compile shrinks accordingly).  The winning prefix is reconstructed
+    from per-step (parent, char) backpointers after the scan.
     """
     B, T, V = logits.shape
     U = max_len or T
@@ -76,119 +88,102 @@ def beam_search_decode(logits, logit_len, beam_width=12, max_len=None, blank=0):
     log_probs = jax.nn.log_softmax(logits, axis=-1)
 
     def decode_one(lp, length):
-        # beam state
-        prefixes = jnp.zeros((W, U), jnp.int32)
-        lens = jnp.zeros((W,), jnp.int32)
+        # beam state: probabilities, last char, prefix hash, parent-prefix
+        # hash (prefix minus last char) — two independent 32-bit streams
         last = jnp.full((W,), -1, jnp.int32)
         h1 = jnp.zeros((W,), jnp.uint32)
         h2 = jnp.zeros((W,), jnp.uint32)
+        h1p = jnp.zeros((W,), jnp.uint32)
+        h2p = jnp.zeros((W,), jnp.uint32)
         p_b = jnp.full((W,), _NEG_INF).at[0].set(0.0)   # empty prefix, blank
         p_nb = jnp.full((W,), _NEG_INF)
 
         chars = jnp.arange(1, V, dtype=jnp.int32)        # non-blank chars
+        iw = jnp.arange(W, dtype=jnp.int32)
 
         def step(state, inp):
-            prefixes, lens, last, h1, h2, p_b, p_nb = state
+            last, h1, h2, h1p, h2p, p_b, p_nb = state
             lp_t, t = inp
 
             lp_blank = lp_t[blank]
             lp_last = jnp.where(last >= 0, lp_t[jnp.maximum(last, 0)], _NEG_INF)
+            p_tot = _log_add(p_b, p_nb)
 
             # stay candidates (same prefix): blank emission + repeat emission
-            stay_pb = _log_add(p_b, p_nb) + lp_blank
+            stay_pb = p_tot + lp_blank
             stay_pnb = p_nb + lp_last
 
-            # extend candidates: [W, V-1]
-            lp_c = lp_t[1:][None, :]                            # [1, V-1]
-            from_pb = p_b[:, None]
-            from_any = _log_add(p_b, p_nb)[:, None]
+            # extend candidates [W, V-1]
+            lp_c = lp_t[1:][None, :]
             ext_pnb = lp_c + jnp.where(chars[None, :] == last[:, None],
-                                       from_pb, from_any)
-            ext_h1 = h1[:, None] * _H1_MULT + chars[None, :].astype(jnp.uint32)
-            ext_h2 = h2[:, None] * _H2_MULT + chars[None, :].astype(jnp.uint32)
+                                       p_b[:, None], p_tot[:, None])
 
-            # flatten candidates: first W stays, then W*(V-1) extends
-            cand_pb = jnp.concatenate([stay_pb, jnp.full((W * (V - 1),), _NEG_INF)])
-            cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
-            cand_h1 = jnp.concatenate([h1, ext_h1.reshape(-1)])
-            cand_h2 = jnp.concatenate([h2, ext_h2.reshape(-1)])
-            cand_parent = jnp.concatenate([
-                jnp.arange(W, dtype=jnp.int32),
-                jnp.repeat(jnp.arange(W, dtype=jnp.int32), V - 1)])
-            cand_char = jnp.concatenate([
-                jnp.full((W,), -1, jnp.int32),
-                jnp.tile(chars, W)])
+            # --- merge extend(w, c) into stay(w') where prefix_w' ==
+            # prefix_w + c: hash(prefix_w) must equal the parent hash of
+            # w', and the extending char is last_w'.
+            match = ((h1[:, None] == h1p[None, :])
+                     & (h2[:, None] == h2p[None, :])
+                     & (last[None, :] >= 0)
+                     & (p_tot[:, None] > _NEG_INF / 2))       # [W ext, W stay]
+            # ext_for_stay[w, w'] = ext_pnb[w, last_w' - 1]
+            ext_for_stay = jnp.take_along_axis(
+                ext_pnb, (jnp.clip(last, 1, V - 1) - 1)[None, :], axis=1)
+            contrib = jnp.where(match, ext_for_stay, _NEG_INF)
+            merged = jax.nn.logsumexp(contrib, axis=0)        # [W stay]
+            stay_pnb = _log_add(stay_pnb, merged)
+            # mask out merged extends: kill[w, c] = ∃w' matched with last=c+1
+            last_onehot = (jnp.maximum(last, 0)[:, None] - 1
+                           == jnp.arange(V - 1)[None, :])     # [W stay, V-1]
+            kill = (match.astype(jnp.float32)
+                    @ last_onehot.astype(jnp.float32)) > 0.5  # [W ext, V-1]
+            ext_pnb = jnp.where(kill, _NEG_INF, ext_pnb)
 
-            # merge identical prefixes: one multi-operand lexsort by
-            # (h1, h2) carrying the probabilities and the candidate index
-            # as payload.  A single sort op (vs two chained stable argsorts
-            # + gathers) compiles ~5x faster and runs leaner; stability is
-            # unnecessary — any element of an equal-hash run reconstructs
-            # the same prefix.
-            idx = jnp.arange(cand_h1.shape[0], dtype=jnp.int32)
-            s_h1, s_h2, s_pb, s_pnb, order = jax.lax.sort(
-                (cand_h1, cand_h2, cand_pb, cand_pnb, idx), num_keys=2)
-            same = jnp.concatenate([
-                jnp.array([False]),
-                (s_h1[1:] == s_h1[:-1]) & (s_h2[1:] == s_h2[:-1])])
-            # segment logsumexp via an associative segmented scan (O(log N)
-            # depth on the VPU instead of a sequential loop):
-            # element = (pb, pnb, is_segment_start); the combine keeps the
-            # right value when the right element starts a new segment.
-            starts = ~same
-
-            def seg_op(left, right):
-                lpb, lpnb, lst = left
-                rpb, rpnb, rst = right
-                return (jnp.where(rst, rpb, _log_add(lpb, rpb)),
-                        jnp.where(rst, rpnb, _log_add(lpnb, rpnb)),
-                        lst | rst)
-
-            run_pb, run_pnb, _ = jax.lax.associative_scan(
-                seg_op, (s_pb, s_pnb, starts))
-            # run totals live at the LAST element of each run
-            is_last = jnp.concatenate([~same[1:], jnp.array([True])])
-            tot = _log_add(run_pb, run_pnb)
-            score = jnp.where(is_last, tot, _NEG_INF)
-
-            top_score, top_idx = jax.lax.top_k(score, W)
-            sel = order[top_idx]
-            # slots below the number of live runs pick score=-inf filler
-            # rows; their (partial-run) probabilities must be masked out or
-            # they would duplicate mass of a surviving prefix.
+            # --- top-W over stays (fully merged) + extends (distinct)
+            scores = jnp.concatenate([_log_add(stay_pb, stay_pnb),
+                                      ext_pnb.reshape(-1)])
+            top_score, top_idx = jax.lax.top_k(scores, W)
             alive = top_score > _NEG_INF / 2
-            new_pb = jnp.where(alive, run_pb[top_idx], _NEG_INF)
-            new_pnb = jnp.where(alive, run_pnb[top_idx], _NEG_INF)
-            new_h1 = cand_h1[sel]
-            new_h2 = cand_h2[sel]
-            parent = cand_parent[sel]
-            char = cand_char[sel]
+            is_stay = top_idx < W
+            w_sel = jnp.where(is_stay, top_idx, (top_idx - W) // (V - 1))
+            c_sel = jnp.where(is_stay, -1, (top_idx - W) % (V - 1) + 1)
+            cu = c_sel.astype(jnp.uint32)
 
-            new_prefixes = prefixes[parent]
-            new_lens = lens[parent]
-            new_last = last[parent]
-            is_ext = char >= 0
-            pos = jnp.minimum(new_lens, U - 1)
-            appended = new_prefixes.at[jnp.arange(W), pos].set(
-                jnp.where(is_ext, char, new_prefixes[jnp.arange(W), pos]))
-            new_prefixes = jnp.where(is_ext[:, None], appended, new_prefixes)
-            new_lens = jnp.where(is_ext, jnp.minimum(new_lens + 1, U), new_lens)
-            new_last = jnp.where(is_ext, char, new_last)
+            new_pb = jnp.where(alive & is_stay, stay_pb[w_sel], _NEG_INF)
+            new_pnb = jnp.where(
+                alive,
+                jnp.where(is_stay, stay_pnb[w_sel],
+                          ext_pnb.reshape(-1)[jnp.maximum(top_idx - W, 0)]),
+                _NEG_INF)
+            new_last = jnp.where(is_stay, last[w_sel], c_sel)
+            new_h1 = jnp.where(is_stay, h1[w_sel], h1[w_sel] * _H1_MULT + cu)
+            new_h2 = jnp.where(is_stay, h2[w_sel], h2[w_sel] * _H2_MULT + cu)
+            new_h1p = jnp.where(is_stay, h1p[w_sel], h1[w_sel])
+            new_h2p = jnp.where(is_stay, h2p[w_sel], h2[w_sel])
 
-            new_state = (new_prefixes, new_lens, new_last, new_h1, new_h2,
+            live = t < length
+            new_state = (new_last, new_h1, new_h2, new_h1p, new_h2p,
                          new_pb, new_pnb)
-            # freeze past the true length
             frozen = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(t < length, (-1,) + (1,) * (new.ndim - 1)),
-                    new, old),
-                new_state, state)
-            return frozen, None
+                lambda new, old: jnp.where(live, new, old), new_state, state)
+            # backpointers: identity/no-emit on frozen steps
+            bp_parent = jnp.where(live, w_sel, iw)
+            bp_char = jnp.where(live, c_sel, -1)
+            return frozen, (bp_parent, bp_char)
 
-        init = (prefixes, lens, last, h1, h2, p_b, p_nb)
-        (prefixes, lens, last, h1, h2, p_b, p_nb), _ = jax.lax.scan(
+        init = (last, h1, h2, h1p, h2p, p_b, p_nb)
+        (last, h1, h2, h1p, h2p, p_b, p_nb), (parents, cs) = jax.lax.scan(
             step, init, (lp, jnp.arange(T)))
-        best = jnp.argmax(_log_add(p_b, p_nb))
-        return prefixes[best], lens[best]
+
+        # --- reconstruct the winning prefix from backpointers (reverse walk)
+        best = jnp.argmax(_log_add(p_b, p_nb)).astype(jnp.int32)
+
+        def walk(idx, tb):
+            par, ch = tb
+            return par[idx], ch[idx]
+
+        _, rev_chars = jax.lax.scan(walk, best, (parents, cs), reverse=True)
+        # rev_chars[t] = char emitted at step t along the winning path
+        out, n = _left_compact(rev_chars, rev_chars >= 1)
+        return out[:U], jnp.minimum(n, U)
 
     return jax.vmap(decode_one)(log_probs, logit_len)

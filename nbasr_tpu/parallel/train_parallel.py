@@ -43,8 +43,12 @@ class ParallelTrainer(Trainer):
     def _put_batch(self, batch):
         import numpy as np
         dp = self.mesh.shape['data']
+        procs = jax.process_count()
+        # Each process contributes its own (loader-shard) rows; the global
+        # batch axis must shard evenly over the per-process slice of 'data'.
+        local_dp = max(dp // procs, 1)
         rows = next(iter(batch.values())).shape[0]
-        pad = (-rows) % dp
+        pad = (-rows) % local_dp
         if pad:
             # pad with zero rows (valid=0 ⇒ they contribute nothing to loss
             # or metrics) so the batch axis shards evenly over 'data'
@@ -53,6 +57,14 @@ class ParallelTrainer(Trainer):
                  np.zeros((pad,) + np.asarray(v).shape[1:], np.asarray(v).dtype)])
                 for k, v in batch.items()}
         spec = batch_shardings(self.mesh)
+        if procs > 1:
+            # Multi-host: every process holds only ITS rows of the global
+            # batch (loader num_shards=process_count); assemble the global
+            # array from per-process local data (replaces the reference's
+            # unused ds.shard hook, cache_shard_shuffle_batch.py:52-53).
+            return {k: jax.make_array_from_process_local_data(
+                        spec(jax.numpy.asarray(v)), np.asarray(v))
+                    for k, v in batch.items()}
         return {k: jax.device_put(jax.numpy.asarray(v), spec(jax.numpy.asarray(v)))
                 for k, v in batch.items()}
 

@@ -1,0 +1,47 @@
+"""Worker process for tests/test_multihost.py: one simulated host.
+
+Runs N train steps of a tiny flagship-shaped model on a 2-process global
+mesh (4 virtual CPU devices per process = 8 global), each process feeding
+its own half of every global batch, and writes the final params to an npz.
+
+Usage: python _multihost_worker.py <process_id> <num_processes> <port>
+       <out.npz>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, procs, port, out = (int(sys.argv[1]), int(sys.argv[2]),
+                             int(sys.argv[3]), sys.argv[4])
+    os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.distributed.initialize(coordinator_address=f'localhost:{port}',
+                               num_processes=procs, process_id=pid)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import numpy as np
+    from tests.test_multihost import (TINY, make_global_batches, run_steps)
+
+    assert jax.device_count() == 4 * procs
+    batches = make_global_batches()
+    local = [{k: v[pid * (v.shape[0] // procs):(pid + 1) * (v.shape[0] // procs)]
+              for k, v in b.items()} for b in batches]
+    params = run_steps(local, dp=4 * procs)
+    np.savez(out, **{'/'.join(p): np.asarray(v)
+                     for p, v in _flat(params).items()})
+
+
+def _flat(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flat(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+if __name__ == '__main__':
+    main()
