@@ -78,17 +78,23 @@ def _train_one(arch, seed, data_root, batch_size, epochs, lr, devices,
 def run_sweep(archs, seeds=(1234, 1235, 1236), *, data_root='TIMIT',
               out_dir='nb-asr-db', batch_size=64, epochs=40, lr=1e-4,
               use_rnn=True, eval_decoder='beam', group_size=None,
-              save_dir=None, verbose=False, progress=True, model_kwargs=None):
+              save_dir=None, verbose=False, progress=True, model_kwargs=None,
+              workers=None):
     """Train ``archs`` × ``seeds`` and write reference-format training DBs.
 
     ``archs``: list of arch vectors, or an int (take the first N unique
     hashes), or ``None`` (all 8,242 — a full regeneration run).
     Jobs are scheduled round-robin over local device groups; inside a group
-    the job runs data-parallel.  Returns the list of written file paths.
+    the job runs data-parallel.  ``workers`` > number of groups oversubscribes
+    devices — worker threads share groups round-robin (useful on one chip:
+    thread A's host work overlaps thread B's device work, and XLA dispatch
+    plus the compilation cache are thread-safe).  Returns the written paths.
     """
     if archs is None or isinstance(archs, int):
         archs = list(unique_architectures(limit=archs).values())
     groups = device_groups(group_size=group_size)
+    if workers is not None and workers > len(groups):
+        groups = [groups[i % len(groups)] for i in range(workers)]
 
     jobs = [(seed, i, arch) for seed in seeds for i, arch in enumerate(archs)]
     per_seed_rows = {seed: [None] * len(archs) for seed in seeds}
