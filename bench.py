@@ -64,6 +64,19 @@ def main():
     trainer.init_state(bf16_model, seed=0)
     batch = trainer._put_batch(next(iter(loaders[1])))
     audio_seconds = float(batch['feature_size'].sum()) * 0.010
+    # MFU numerator: XLA-counted step FLOPs (before any donation frees the
+    # initial state's buffers).  XLA counts the chunked grouped convs'
+    # padded FLOPs, so this is *hardware* utilisation; the model's
+    # algorithmic FLOPs are lower.
+    try:
+        cost = trainer._train_step.lower(
+            trainer.state, batch, jnp.float32(1e-4)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get('flops', 0.0))
+    except Exception:
+        step_flops = 0.0
+
     state = trainer._train_step(trainer.state, batch, jnp.float32(1e-4))
     jax.block_until_ready(state.params)  # compile
     t0 = time.perf_counter()
@@ -73,6 +86,8 @@ def main():
     jax.block_until_ready(state.params)
     step_time = (time.perf_counter() - t0) / n_steps
     throughput = audio_seconds / step_time
+    # v5e peak: 197 bf16 TFLOP/s
+    mfu = step_flops / (step_time * 197e12) if step_flops else None
 
     baseline = 0.04320073127746582  # GTX 1080 Ti fp32, README.md:61
     print(json.dumps({
@@ -82,6 +97,8 @@ def main():
         'vs_baseline': baseline / latency,
         'train_audio_seconds_per_sec_per_chip': throughput,
         'train_step_seconds': step_time,
+        'train_step_tflops': step_flops / 1e12 if step_flops else None,
+        'train_mfu': mfu,
         'device': str(jax.devices()[0]),
     }))
 

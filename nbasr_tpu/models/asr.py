@@ -132,7 +132,7 @@ class ASRModel(nn.Module):
                                 init_scheme=self.init_scheme,
                                 pad_math=self.pad_math,
                                 name=f'block{i}_conv')(x, train=train)
-                x = nn.LayerNorm(epsilon=self.norm_epsilon,
+                x = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=x.dtype,
                                  name=f'block{i}_norm')(x)
                 if split:
                     x = to_split(x, self.cell_groups)

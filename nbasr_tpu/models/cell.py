@@ -14,9 +14,12 @@ zero at runtime; under XLA we simply don't emit the op, which also lets
 dead ``zero``-op nodes be pruned by DCE).
 """
 
+import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import PadConvRelu, LinearRelu, SplitLayerNorm, norm_eps
+from .layers import PadConvRelu, LinearRelu, SplitLayerNorm, norm_eps, \
+    conv_padding
 
 __all__ = ['SearchCell', 'CELL_DROPOUT', 'make_op']
 
@@ -58,6 +61,60 @@ def make_op(op_name, filters, dropout_rate=CELL_DROPOUT, name=None, groups=100,
     raise ValueError(f'Unknown op: {op_name!r}')
 
 
+class _ConvParams(nn.Module):
+    """Declares PadConvRelu-compatible conv params (fused path)."""
+    kernel_size: int
+    cin: int
+    filters: int
+    init_scheme: str
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
+                if self.init_scheme == 'scaled'
+                else nn.initializers.xavier_uniform())
+        k = self.param('conv_kernel_grouped', init,
+                       (self.kernel_size, self.cin, self.filters), jnp.float32)
+        b = self.param('conv_bias', nn.initializers.zeros,
+                       (self.filters,), jnp.float32)
+        return k, b
+
+
+class _DenseSub(nn.Module):
+    features: int
+    init_scheme: str
+
+    @nn.compact
+    def __call__(self, cin):
+        init = (nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
+                if self.init_scheme == 'scaled'
+                else nn.initializers.xavier_uniform())
+        k = self.param('kernel', init, (cin, self.features), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _DenseParams(nn.Module):
+    """Declares LinearRelu-compatible params (node*/dense/{kernel,bias})."""
+    features: int
+    init_scheme: str
+
+    @nn.compact
+    def __call__(self, cin):
+        return _DenseSub(self.features, self.init_scheme, name='dense')(cin)
+
+
+class _NormParams(nn.Module):
+    """Declares nn.LayerNorm-compatible params (fused path)."""
+
+    @nn.compact
+    def __call__(self, c):
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        return scale, bias
+
+
 class SearchCell(nn.Module):
     """Nodes over a growing list of outputs, then LayerNorm.
 
@@ -86,6 +143,8 @@ class SearchCell(nn.Module):
         if self.branch_semantics not in ('canonical', 'tf_inverted'):
             raise ValueError(f'unknown branch_semantics: '
                              f'{self.branch_semantics!r}')
+        if self.grouped_impl == 'fused':
+            return self._fused(x, train)
         # In 'pallas_split' mode the cell's input/output (and every
         # intermediate) live in split layout [B, c, T, G]; only the rare
         # 'linear' op round-trips to dense for its full-channel matmul.
@@ -120,5 +179,58 @@ class SearchCell(nn.Module):
                 out = SplitLayerNorm(epsilon=self.norm_epsilon,
                                      name='norm')(out)
             else:
-                out = nn.LayerNorm(epsilon=self.norm_epsilon, name='norm')(out)
+                out = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=out.dtype,
+                                   name='norm')(out)
         return out
+
+    def _fused(self, x, train):
+        """The whole cell as ONE Pallas kernel (see ops/fused_cell.py):
+        every node conv/linear, clip-ReLU, dropout, branch add and the
+        trailing LayerNorm in a single VMEM residency.  Parameter tree is
+        identical to the unfused paths (checkpoints interchangeable)."""
+        from ..ops.fused_cell import (FusedCellSpec, ConvNode, LinearNode,
+                                      ZeroNode, fused_cell_apply,
+                                      expand_chunked)
+        C = self.filters
+        ci = C // self.groups
+        live = 0 if self.branch_semantics == 'tf_inverted' else 1
+        convs = {'conv5': (5, 1), 'conv5d2': (5, 2),
+                 'conv7': (7, 1), 'conv7d2': (7, 2)}
+        nodes, weights = [], []
+        for nidx, node in enumerate(self.arch_desc):
+            op_name, *bits = node
+            branches = tuple(j for j, b in enumerate(bits) if b == live)
+            name = f'node{nidx}_{op_name}'
+            if op_name == 'zero':
+                nodes.append(ZeroNode(branches))
+                continue
+            if op_name == 'linear':
+                k, b = _DenseParams(C, self.init_scheme, name=name)(C)
+                nodes.append(LinearNode(branches))
+                weights += [k.astype(x.dtype), b]
+                continue
+            K, d = convs[op_name]
+            if not self.apply_dilation:
+                d = 1
+            lpad, rpad = conv_padding(K, d, 1, pad_math=self.pad_math)
+            S = PadConvRelu.chunk_count(self.groups, ci, ci)
+            kern, bias = _ConvParams(K, ci, C, self.init_scheme, name=name)()
+            nodes.append(ConvNode(K, d, lpad, rpad, self.groups, S, ci, ci,
+                                  branches))
+            weights += [expand_chunked(kern, self.groups, S).astype(x.dtype),
+                        bias]
+        if self.use_norm:
+            scale, bias = _NormParams(name='norm')(C)
+        else:
+            scale = bias = jnp.zeros((C,), jnp.float32)
+        spec = FusedCellSpec(nodes, dropout_rate=self.dropout_rate,
+                             train=train, ln_eps=self.norm_epsilon,
+                             use_norm=self.use_norm)
+        if spec.dropping:
+            rng = self.make_rng('dropout')
+            seed = jax.random.randint(rng, (2,), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((2,), jnp.int32)
+        return fused_cell_apply(spec, x, weights, (scale, bias), seed)

@@ -240,6 +240,10 @@ class PadConvRelu(nn.Module):
                 feature_group_count=self.groups,
                 padding=[(lpad, rpad)],
                 kernel_init=self._kernel_init(),
+                # keep the activation dtype: flax's dtype=None would
+                # promote bf16 activations with f32 params to f32 and
+                # silently double HBM traffic for the whole encoder
+                dtype=x.dtype,
                 name='conv',
             )(x)
         x = relu20(x)
@@ -260,7 +264,8 @@ class LinearRelu(nn.Module):
         init = (nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
                 if self.init_scheme == 'scaled'
                 else nn.initializers.xavier_uniform())
-        x = nn.Dense(self.filters, name='dense', kernel_init=init)(x)
+        x = nn.Dense(self.filters, name='dense', kernel_init=init,
+                     dtype=x.dtype)(x)
         x = relu20(x)
         if self.dropout_rate:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
@@ -312,7 +317,7 @@ class MeanVarianceNorm(nn.Module):
                              lambda: jnp.asarray(self.mean, jnp.float32)).value
         var = self.variable('stats', 'variance',
                             lambda: jnp.asarray(self.variance, jnp.float32)).value
-        out = (x - mean) / jnp.sqrt(var + self.epsilon)
+        out = ((x - mean) / jnp.sqrt(var + self.epsilon)).astype(x.dtype)
         if mask is not None:
-            out = jnp.where(mask[..., None], out, 0.0)
+            out = jnp.where(mask[..., None], out, jnp.zeros((), x.dtype))
         return out

@@ -1,0 +1,580 @@
+"""Fused SearchCell: one Pallas kernel per cell, forward and backward.
+
+Motivation (PERF.md round 2): on v5e the train step is HBM-bandwidth
+bound — every one of the ~6 XLA ops per cell node (pad, conv, bias+ReLU,
+dropout RNG, branch add, LayerNorm) costs a full [B, T, C] round trip
+(~200 µs at block-0/1 shapes), so a cell costs ~15 passes while its
+*compute* is ~100 µs of MXU work.  This kernel runs the whole cell —
+every node's grouped conv (as chunked block-diagonal MXU matmuls, the
+same math as ``PadConvRelu``'s ``'chunked'`` impl), clip-ReLU(20),
+dropout (TPU hardware PRNG), branch adds, and the final LayerNorm — in
+one VMEM residency: the activation makes ONE trip from HBM per cell
+instead of ~15.
+
+Backward is a second fused kernel: it *recomputes* the forward (keeping
+every node output and the combined ReLU-gate × dropout multiplier in
+VMEM), then walks the node DAG in reverse producing dx, per-node
+d(expanded weights)/d(bias), and the LayerNorm grads, with all
+contractions on the MXU.  Gradients w.r.t. the *expanded* chunk weights
+are projected back onto the compact grouped layout by XLA through the
+(linear) expansion, so off-block-diagonal components vanish exactly.
+
+Weight convention: conv nodes take the chunk-expanded kernel
+``[K, Gc*ci, C_out]`` produced by :func:`expand_chunked` (block-diagonal
+per chunk of ``Gc`` groups — see models/layers.py 'chunked'); linear
+nodes take a dense ``[C, C]``; zero nodes take no parameters.
+
+Reference semantics covered: cell op table ``model/tf/ops.py:69-76``
+(clip-ReLU 20, dropout 0.2, groups=100), node branch adds
+``model/tf/model.py:16-25``, trailing LayerNorm ``model/tf/model.py:39-46``.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['FusedCellSpec', 'ConvNode', 'LinearNode', 'ZeroNode',
+           'fused_cell_apply', 'expand_chunked']
+
+#: Tests set this to run the kernels in interpret mode on CPU.
+INTERPRET = False
+
+_LN_EPS_DEFAULT = 1e-3
+
+
+def expand_chunked(kernel, groups, chunks):
+    """Compact grouped ``[K, ci, C_out]`` -> chunked block-diag
+    ``[K, Gc*ci, C_out]`` (see models/layers.py 'chunked' impl)."""
+    K, cin, filters = kernel.shape
+    S = chunks
+    Gc = groups // S
+    co = filters // groups
+    kg = kernel.reshape(K, cin, S, Gc, co)
+    eye = jnp.eye(Gc, dtype=kernel.dtype)
+    return jnp.einsum('kcsgo,gh->khcsgo', kg, eye).reshape(
+        K, Gc * cin, filters)
+
+
+class ConvNode:
+    """Static spec of one grouped-conv node."""
+
+    def __init__(self, kernel_size, dilation, lpad, rpad, groups, chunks,
+                 cin_pg, cout_pg, branches):
+        self.kind = 'conv'
+        self.K = kernel_size
+        self.d = dilation
+        self.lpad = lpad
+        self.rpad = rpad
+        self.S = chunks
+        self.Gc = groups // chunks
+        self.cin_pg = cin_pg
+        self.cout_pg = cout_pg
+        self.branches = tuple(branches)   # indices into outputs list
+
+    def key(self):
+        return ('conv', self.K, self.d, self.lpad, self.rpad, self.S,
+                self.Gc, self.cin_pg, self.cout_pg, self.branches)
+
+
+class LinearNode:
+    def __init__(self, branches):
+        self.kind = 'linear'
+        self.branches = tuple(branches)
+
+    def key(self):
+        return ('linear', self.branches)
+
+
+class ZeroNode:
+    def __init__(self, branches):
+        self.kind = 'zero'
+        self.branches = tuple(branches)
+
+    def key(self):
+        return ('zero', self.branches)
+
+
+class FusedCellSpec:
+    """Static description of a cell: node list + dropout + LN epsilon."""
+
+    def __init__(self, nodes, dropout_rate=0.0, train=False,
+                 ln_eps=_LN_EPS_DEFAULT, use_norm=True):
+        self.nodes = tuple(nodes)
+        self.dropout_rate = float(dropout_rate)
+        self.train = bool(train)
+        self.ln_eps = float(ln_eps)
+        self.use_norm = bool(use_norm)
+
+    @property
+    def dropping(self):
+        return self.train and self.dropout_rate > 0.0
+
+    def key(self):
+        return (tuple(n.key() for n in self.nodes), self.dropout_rate,
+                self.train, self.ln_eps, self.use_norm)
+
+    @property
+    def max_pad(self):
+        pads = [(n.lpad, n.rpad) for n in self.nodes if n.kind == 'conv']
+        if not pads:
+            return (0, 0)
+        return (max(p[0] for p in pads), max(p[1] for p in pads))
+
+
+def _keep_threshold(rate):
+    # keep iff bits < keep_prob * 2^32
+    return np.uint32(min(int((1.0 - rate) * (1 << 32)), (1 << 32) - 1))
+
+
+class _Prng:
+    """TPU hardware PRNG, with a stateless-hash fallback for interpret
+    mode (pltpu.prng_* has no CPU lowering).  The fallback is only used by
+    CPU tests; fwd/bwd determinism holds because both passes consume bits
+    in the same (node-ordered) sequence."""
+
+    def __init__(self):
+        self.interpret = INTERPRET
+        self._state = None
+        self._counter = 0
+
+    def seed(self, s0, s1, pid):
+        if self.interpret:
+            self._state = (s0.astype(jnp.uint32), s1.astype(jnp.uint32),
+                           pid.astype(jnp.uint32))
+            self._counter = 0
+        else:
+            # Mosaic caps prng_seed at 2 values; mix the batch row into
+            # the first word (large odd multiplier, wrapping int32).
+            mixed = s0 ^ (pid.astype(jnp.int32) * jnp.int32(1779033703))
+            pltpu.prng_seed(mixed, s1)
+
+    def bits(self, shape):
+        if not self.interpret:
+            return pltpu.prng_random_bits(shape).astype(jnp.uint32)
+        self._counter += 1
+        s0, s1, pid = self._state
+        i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        x = (i * jnp.uint32(0x9E3779B1) ^ j * jnp.uint32(0x85EBCA6B)
+             ^ (s0 * jnp.uint32(0xC2B2AE35)) ^ (s1 + jnp.uint32(0x27D4EB2F))
+             ^ (pid * jnp.uint32(0x165667B1))
+             ^ np.uint32((self._counter * 0x5851F42D) & 0xFFFFFFFF))
+        for shift in (15, 13, 16):
+            x = x ^ (x >> shift)
+            x = x * jnp.uint32(0x2545F491)
+        return x ^ (x >> 16)
+
+
+def _node_weight_count(node):
+    return {'conv': 2, 'linear': 2, 'zero': 0}[node.kind]
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _emit_conv(node, src, pad_ref, acc_ref, w_ref, b_ref, T, C):
+    """conv(src) + bias into acc_ref; src is a [T, C] array (VMEM value)."""
+    lpad, rpad, K, d, S = node.lpad, node.rpad, node.K, node.d, node.S
+    Gci = node.Gc * node.cin_pg
+    Gco = node.Gc * node.cout_pg
+    if lpad:
+        pad_ref[:lpad, :] = jnp.zeros((lpad, C), pad_ref.dtype)
+    pad_ref[lpad:lpad + T, :] = src.astype(pad_ref.dtype)
+    tail = pad_ref.shape[0] - (lpad + T)
+    if tail:
+        pad_ref[lpad + T:, :] = jnp.zeros((tail, C), pad_ref.dtype)
+    acc_ref[...] = jnp.broadcast_to(
+        b_ref[0, :].astype(jnp.float32), (T, C))
+    for k in range(node.K):
+        off = k * d
+        for s in range(S):
+            xs = pad_ref[off:off + T, s * Gci:(s + 1) * Gci]
+            wk = w_ref[k, :, s * Gco:(s + 1) * Gco]
+            acc_ref[:, s * Gco:(s + 1) * Gco] += jax.lax.dot_general(
+                xs, wk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
+def _emit_linear(src, acc_ref, w_ref, b_ref, T, C):
+    acc_ref[...] = (b_ref[0, :].astype(jnp.float32)[None, :]
+                    + jax.lax.dot_general(
+                        src, w_ref[...].astype(src.dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+
+
+def _fwd_kernel(spec, T, C, seed_ref, x_ref, *refs):
+    n_nodes = len(spec.nodes)
+    n_w = sum(_node_weight_count(n) for n in spec.nodes)
+    w_refs = refs[:n_w]
+    i = n_w
+    if spec.use_norm:
+        scale_ref, bias_ref = refs[i], refs[i + 1]
+        i += 2
+    o_ref = refs[i]
+    outs_ref, pad_ref, acc_ref = refs[i + 1], refs[i + 2], refs[i + 3]
+
+    prng = _Prng()
+    if spec.dropping:
+        prng.seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        thr = _keep_threshold(spec.dropout_rate)
+        inv_keep = np.float32(1.0 / (1.0 - spec.dropout_rate))
+
+    outs_ref[0] = x_ref[0]
+    wi = 0
+    for n, node in enumerate(spec.nodes):
+        src = outs_ref[n]
+        if node.kind == 'conv':
+            _emit_conv(node, src, pad_ref, acc_ref, w_refs[wi],
+                       w_refs[wi + 1], T, C)
+            wi += 2
+        elif node.kind == 'linear':
+            _emit_linear(src, acc_ref, w_refs[wi], w_refs[wi + 1], T, C)
+            wi += 2
+        if node.kind == 'zero':
+            total = jnp.zeros((T, C), jnp.float32)
+        else:
+            y = jnp.clip(acc_ref[...], 0.0, 20.0)
+            if spec.dropping:
+                bits = prng.bits((T, C))
+                y = jnp.where(bits < thr, y * inv_keep, 0.0)
+            total = y
+        for j in node.branches:
+            total = total + outs_ref[j].astype(jnp.float32)
+        outs_ref[n + 1] = total.astype(outs_ref.dtype)
+
+    xf = outs_ref[n_nodes].astype(jnp.float32)
+    if spec.use_norm:
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        xhat = (xf - mu) * jax.lax.rsqrt(var + spec.ln_eps)
+        out = (xhat * scale_ref[0, :].astype(jnp.float32)[None, :]
+               + bias_ref[0, :].astype(jnp.float32)[None, :])
+    else:
+        out = xf
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(spec, T, C, seed_ref, x_ref, dy_ref, *refs):
+    n_nodes = len(spec.nodes)
+    n_w = sum(_node_weight_count(n) for n in spec.nodes)
+    w_refs = refs[:n_w]
+    i = n_w
+    if spec.use_norm:
+        scale_ref = refs[i]
+        i += 1
+    # outputs: dx, per-node (dw, db), (dscale, dbias)
+    dx_ref = refs[i]
+    i += 1
+    dw_refs = refs[i:i + n_w]
+    i += n_w
+    if spec.use_norm:
+        dscale_ref, dbias_ref = refs[i], refs[i + 1]
+        i += 2
+    outs_ref, mult_ref, g_ref, pad_ref, acc_ref, dxp_ref = refs[i:i + 6]
+
+    row0 = pl.program_id(0) == 0
+
+    prng = _Prng()
+    if spec.dropping:
+        prng.seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        thr = _keep_threshold(spec.dropout_rate)
+        inv_keep = np.float32(1.0 / (1.0 - spec.dropout_rate))
+
+    # ---- recompute forward, keeping outs + combined bwd multipliers ----
+    outs_ref[0] = x_ref[0]
+    wi = 0
+    for n, node in enumerate(spec.nodes):
+        src = outs_ref[n]
+        if node.kind == 'conv':
+            _emit_conv(node, src, pad_ref, acc_ref, w_refs[wi],
+                       w_refs[wi + 1], T, C)
+            wi += 2
+        elif node.kind == 'linear':
+            _emit_linear(src, acc_ref, w_refs[wi], w_refs[wi + 1], T, C)
+            wi += 2
+        if node.kind == 'zero':
+            total = jnp.zeros((T, C), jnp.float32)
+        else:
+            a = acc_ref[...]
+            # clip-ReLU gate matching jnp.clip's VJP exactly, including the
+            # 0.5/0.5 tie split at the boundaries — with zero-initialised
+            # biases, whole ReLU-dead receptive windows make a == 0 exactly
+            # (systematic, not measure-zero), and the unfused XLA paths
+            # pass half the gradient there.
+            gate = jnp.where((a > 0.0) & (a < 20.0), 1.0,
+                             jnp.where((a == 0.0) | (a == 20.0), 0.5, 0.0))
+            y = jnp.clip(a, 0.0, 20.0)
+            if spec.dropping:
+                bits = prng.bits((T, C))
+                keep = bits < thr
+                y = jnp.where(keep, y * inv_keep, 0.0)
+                m = jnp.where(keep, gate * inv_keep, 0.0)
+            else:
+                m = gate
+            mult_ref[n] = m.astype(mult_ref.dtype)
+            total = y
+        for j in node.branches:
+            total = total + outs_ref[j].astype(jnp.float32)
+        outs_ref[n + 1] = total.astype(outs_ref.dtype)
+
+    # ---- LayerNorm backward -> g[n_nodes] ----
+    xf = outs_ref[n_nodes].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+    if spec.use_norm:
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        inv = jax.lax.rsqrt(var + spec.ln_eps)
+        xhat = (xf - mu) * inv
+        sc = scale_ref[0, :].astype(jnp.float32)[None, :]
+
+        @pl.when(row0)
+        def _():
+            dscale_ref[...] = jnp.zeros_like(dscale_ref)
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+        dscale_ref[0, :] += jnp.sum(dy * xhat, axis=0)
+        dbias_ref[0, :] += jnp.sum(dy, axis=0)
+        dxhat = dy * sc
+        g_last = (dxhat - jnp.mean(dxhat, axis=1, keepdims=True)
+                  - xhat * jnp.mean(dxhat * xhat, axis=1, keepdims=True)) * inv
+    else:
+        g_last = dy
+    for n in range(n_nodes + 1):
+        g_ref[n] = jnp.zeros((T, C), g_ref.dtype)
+    g_ref[n_nodes] = g_last.astype(g_ref.dtype)
+
+    # ---- reverse node walk ----
+    w_starts = []
+    wi = 0
+    for node in spec.nodes:
+        w_starts.append(wi)
+        wi += _node_weight_count(node)
+
+    for n in reversed(range(n_nodes)):
+        node = spec.nodes[n]
+        dtotal = g_ref[n + 1].astype(jnp.float32)
+        for j in node.branches:
+            g_ref[j] = (g_ref[j].astype(jnp.float32) + dtotal).astype(
+                g_ref.dtype)
+        if node.kind == 'zero':
+            continue
+        dz = (dtotal * mult_ref[n].astype(jnp.float32))
+        wi = w_starts[n]
+        w_ref, dw_ref, db_ref = w_refs[wi], dw_refs[wi], dw_refs[wi + 1]
+
+        @pl.when(row0)
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        db_ref[0, :] += jnp.sum(dz, axis=0)
+        dzc = dz.astype(x_ref.dtype)
+
+        if node.kind == 'linear':
+            src = outs_ref[n]
+            dw_ref[...] += jax.lax.dot_general(
+                src, dzc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            contrib = jax.lax.dot_general(
+                dzc, w_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_ref[n] = (g_ref[n].astype(jnp.float32) + contrib).astype(
+                g_ref.dtype)
+            continue
+
+        # conv: rebuild the padded source, then dw and dx on the MXU
+        lpad, K, d, S = node.lpad, node.K, node.d, node.S
+        Gci = node.Gc * node.cin_pg
+        Gco = node.Gc * node.cout_pg
+        if lpad:
+            pad_ref[:lpad, :] = jnp.zeros((lpad, C), pad_ref.dtype)
+        pad_ref[lpad:lpad + T, :] = outs_ref[n]
+        tail = pad_ref.shape[0] - (lpad + T)
+        if tail:
+            pad_ref[lpad + T:, :] = jnp.zeros((tail, C), pad_ref.dtype)
+
+        dxp_ref[...] = jnp.zeros_like(dxp_ref)
+        for k in range(K):
+            off = k * d
+            for s in range(S):
+                xs = pad_ref[off:off + T, s * Gci:(s + 1) * Gci]
+                dzs = dzc[:, s * Gco:(s + 1) * Gco]
+                dw_ref[k, :, s * Gco:(s + 1) * Gco] += jax.lax.dot_general(
+                    xs, dzs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                wk = w_ref[k, :, s * Gco:(s + 1) * Gco]
+                dxp_ref[off:off + T, s * Gci:(s + 1) * Gci] += (
+                    jax.lax.dot_general(
+                        dzs, wk, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+        g_ref[n] = (g_ref[n].astype(jnp.float32)
+                    + dxp_ref[lpad:lpad + T, :]).astype(g_ref.dtype)
+
+    dx_ref[0] = g_ref[0].astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom_vjp
+# ---------------------------------------------------------------------------
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _weight_shapes(spec, C):
+    """Per-node (weight, bias) shapes in operand order."""
+    shapes = []
+    for node in spec.nodes:
+        if node.kind == 'conv':
+            Gci = node.Gc * node.cin_pg
+            shapes += [(node.K, Gci, C), (1, C)]
+        elif node.kind == 'linear':
+            shapes += [(C, C), (1, C)]
+    return shapes
+
+
+def _forward(spec, x, weights, ln, seed):
+    B, T, C = x.shape
+    lpad, rpad = spec.max_pad
+    n_nodes = len(spec.nodes)
+    w_shapes = _weight_shapes(spec, C)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, T, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [_const_spec(s) for s in w_shapes]
+    operands = [seed, x] + list(weights)
+    if spec.use_norm:
+        in_specs += [_const_spec((1, C)), _const_spec((1, C))]
+        operands += [ln[0].reshape(1, C), ln[1].reshape(1, C)]
+    kernel = functools.partial(_fwd_kernel, spec, T, C)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, T, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_nodes + 1, T, C), x.dtype),
+            pltpu.VMEM((T + lpad + rpad, C), x.dtype),
+            pltpu.VMEM((T, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(*operands)
+
+
+def _backward(spec, x, weights, ln, seed, dy):
+    B, T, C = x.shape
+    lpad, rpad = spec.max_pad
+    n_nodes = len(spec.nodes)
+    w_shapes = _weight_shapes(spec, C)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, T, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [_const_spec(s) for s in w_shapes]
+    operands = [seed, x, dy] + list(weights)
+    if spec.use_norm:
+        in_specs += [_const_spec((1, C))]
+        operands += [ln[0].reshape(1, C)]
+
+    out_shapes = [jax.ShapeDtypeStruct((B, T, C), x.dtype)]        # dx
+    out_specs = [pl.BlockSpec((1, T, C), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    for s in w_shapes:
+        out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
+        out_specs.append(_const_spec(s))
+    if spec.use_norm:
+        for _ in range(2):
+            out_shapes.append(jax.ShapeDtypeStruct((1, C), jnp.float32))
+            out_specs.append(_const_spec((1, C)))
+
+    kernel = functools.partial(_bwd_kernel, spec, T, C)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((n_nodes + 1, T, C), x.dtype),   # outs
+            pltpu.VMEM((n_nodes, T, C), x.dtype),       # bwd multipliers
+            pltpu.VMEM((n_nodes + 1, T, C), x.dtype),   # grads per output
+            pltpu.VMEM((T + lpad + rpad, C), x.dtype),  # padded source
+            pltpu.VMEM((T, C), jnp.float32),            # conv accumulator
+            pltpu.VMEM((T + lpad + rpad, C), jnp.float32),  # dx accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(*operands)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_cell(spec_key, x, weights, ln, seed):
+    spec = _SPECS[spec_key]
+    return _forward(spec, x, weights, ln, seed)
+
+
+def _fused_fwd(spec_key, x, weights, ln, seed):
+    y = _fused_cell(spec_key, x, weights, ln, seed)
+    return y, (x, weights, ln, seed)
+
+
+def _fused_bwd(spec_key, res, dy):
+    spec = _SPECS[spec_key]
+    x, weights, ln, seed = res
+    outs = _backward(spec, x, weights, ln, seed, dy)
+    dx = outs[0]
+    n_w = len(weights)
+    dws = []
+    for i, w in enumerate(weights):
+        g = outs[1 + i]
+        if g.shape != w.shape:      # biases returned as [1, C]
+            g = g.reshape(w.shape)
+        dws.append(g.astype(w.dtype))
+    if spec.use_norm:
+        dscale = outs[1 + n_w].reshape(ln[0].shape).astype(ln[0].dtype)
+        dbias = outs[2 + n_w].reshape(ln[1].shape).astype(ln[1].dtype)
+        dln = (dscale, dbias)
+    else:
+        dln = jax.tree_util.tree_map(jnp.zeros_like, ln)
+    return dx, tuple(dws), dln, jnp.zeros_like(seed)
+
+
+_fused_cell.defvjp(_fused_fwd, _fused_bwd)
+
+#: spec registry: custom_vjp nondiff args must be hashable; specs are
+#: registered once per unique static configuration.
+_SPECS = {}
+
+
+def fused_cell_apply(spec, x, weights, ln_params, seed):
+    """Run one fused cell.
+
+    spec: FusedCellSpec;  x: [B, T, C];  weights: flat tuple of per-node
+    (w, b) in node order (conv w chunk-expanded, bias [C]); ln_params:
+    (scale [C], bias [C]) (ignored when spec.use_norm is False — pass
+    zeros); seed: int32 [2] (dropout stream id).
+    """
+    key = spec.key()
+    _SPECS.setdefault(key, spec)
+    weights = tuple(
+        w if w.ndim != 1 else w.reshape(1, -1) for w in weights)
+    return _fused_cell(key, x, weights, tuple(ln_params), seed)

@@ -1,0 +1,137 @@
+"""Fused whole-cell Pallas kernel (ops/fused_cell.py) vs the unfused XLA
+cell path: identical parameter trees, matching forward and gradients
+(interpret mode on CPU), dropout determinism and statistics."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import nbasr_tpu.ops.fused_cell as fused_cell
+from nbasr_tpu.models.cell import SearchCell
+
+ARCHS = [
+    (('conv5', 0), ('conv5', 0, 0), ('conv5', 0, 0, 0)),     # flagship
+    (('conv5d2', 1), ('conv7', 1, 0), ('conv7d2', 0, 1, 1)),  # dilated+branches
+    (('linear', 0), ('zero', 1, 1), ('conv5', 1, 0, 1)),      # linear+zero
+]
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(fused_cell, 'INTERPRET', True)
+    with jax.default_matmul_precision('highest'):
+        yield
+
+
+def _pair(arch, **overrides):
+    kw = dict(filters=24, arch_desc=arch, dropout_rate=0.0, groups=4,
+              init_scheme='scaled')
+    kw.update(overrides)
+    return (SearchCell(grouped_impl='masked_dense', **kw),
+            SearchCell(grouped_impl='fused', **kw))
+
+
+def _x(B=2, T=21, C=24, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).randn(B, T, C),
+                       jnp.float32)
+
+
+@pytest.mark.parametrize('arch', ARCHS, ids=['flagship', 'dilated', 'zero+lin'])
+def test_forward_matches_unfused(arch):
+    ref, fus = _pair(arch)
+    x = _x()
+    v = ref.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(fus.init(jax.random.PRNGKey(0), x)))
+    a = ref.apply(v, x)
+    b = fus.apply(v, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('arch', ARCHS, ids=['flagship', 'dilated', 'zero+lin'])
+def test_gradients_match_unfused(arch):
+    ref, fus = _pair(arch)
+    x = _x(seed=1)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    ga = jax.grad(lambda v, x: jnp.sum(ref.apply(v, x) ** 2),
+                  argnums=(0, 1))(v, x)
+    gb = jax.grad(lambda v, x: jnp.sum(fus.apply(v, x) ** 2),
+                  argnums=(0, 1))(v, x)
+    for (path, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(ga),
+                                   jax.tree_util.tree_leaves_with_path(gb)):
+        scale = float(jnp.abs(la).max()) + 1e-3
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=0, atol=3e-3 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_no_norm_variant():
+    ref, fus = _pair(ARCHS[0], use_norm=False)
+    x = _x()
+    v = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(fus.apply(v, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tf_quirk_toggles_flow_through():
+    kw = dict(branch_semantics='tf_inverted', apply_dilation=False,
+              pad_math='tf')
+    ref, fus = _pair(ARCHS[1], **kw)
+    x = _x(seed=2)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(fus.apply(v, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dropout_deterministic_and_scaled():
+    _, fus = _pair(ARCHS[0], dropout_rate=0.5)
+    x = jnp.ones((2, 21, 24), jnp.float32)
+    v = fus.init(jax.random.PRNGKey(0), x)
+    r = jax.random.PRNGKey(7)
+    y1 = fus.apply(v, x, True, rngs={'dropout': r})
+    y2 = fus.apply(v, x, True, rngs={'dropout': r})
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    y3 = fus.apply(v, x, True, rngs={'dropout': jax.random.PRNGKey(8)})
+    assert np.abs(np.asarray(y1) - np.asarray(y3)).max() > 0
+
+    # drop statistics on the raw clip-ReLU output of a single node
+    arch1 = (('conv5', 0),)
+    cell = SearchCell(filters=24, arch_desc=arch1, dropout_rate=0.5,
+                      groups=4, init_scheme='scaled', use_norm=False,
+                      grouped_impl='fused')
+    v = cell.init(jax.random.PRNGKey(0), x)
+    y_eval = np.asarray(cell.apply(v, x))
+    y_tr = np.asarray(cell.apply(v, x, True, rngs={'dropout': r}))
+    nz_ref = (np.abs(y_eval) > 1e-6)
+    kept = (np.abs(y_tr) > 1e-6) & nz_ref
+    rate = 1 - kept.sum() / max(nz_ref.sum(), 1)
+    assert 0.35 < rate < 0.65            # ~0.5 drop rate
+    ratio = y_tr[kept] / y_eval[kept]
+    np.testing.assert_allclose(ratio, 2.0, rtol=1e-3)  # 1/(1-p) scaling
+
+
+def test_dropout_gradients_are_mask_consistent():
+    """bwd must regenerate the same dropout mask the fwd used."""
+    arch1 = (('conv5', 0),)
+    cell = SearchCell(filters=24, arch_desc=arch1, dropout_rate=0.5,
+                      groups=4, init_scheme='scaled', use_norm=False,
+                      grouped_impl='fused')
+    x = _x(seed=3)
+    v = cell.init(jax.random.PRNGKey(0), x)
+    r = jax.random.PRNGKey(11)
+
+    def f(x):
+        return jnp.sum(cell.apply(v, x, True, rngs={'dropout': r}) ** 2)
+
+    g = jax.grad(f)(x)
+    # directional finite difference with the SAME rng (deterministic masks)
+    rng = np.random.RandomState(0)
+    vdir = jnp.asarray(rng.randn(*x.shape), jnp.float32)
+    eps = 1e-3
+    fd = (f(x + eps * vdir) - f(x - eps * vdir)) / (2 * eps)
+    an = jnp.sum(g * vdir)
+    np.testing.assert_allclose(float(fd), float(an), rtol=2e-2)
