@@ -143,8 +143,9 @@ class SearchCell(nn.Module):
         if self.branch_semantics not in ('canonical', 'tf_inverted'):
             raise ValueError(f'unknown branch_semantics: '
                              f'{self.branch_semantics!r}')
-        if self.grouped_impl == 'fused':
-            return self._fused(x, train)
+        if self.grouped_impl in ('fused', 'fused_aligned'):
+            return self._fused(x, train,
+                               aligned=self.grouped_impl == 'fused_aligned')
         # In 'pallas_split' mode the cell's input/output (and every
         # intermediate) live in split layout [B, c, T, G]; only the rare
         # 'linear' op round-trips to dense for its full-channel matmul.
@@ -183,16 +184,31 @@ class SearchCell(nn.Module):
                                    name='norm')(out)
         return out
 
-    def _fused(self, x, train):
+    def _fused(self, x, train, aligned=False):
         """The whole cell as ONE Pallas kernel (see ops/fused_cell.py):
         every node conv/linear, clip-ReLU, dropout, branch add and the
         trailing LayerNorm in a single VMEM residency.  Parameter tree is
-        identical to the unfused paths (checkpoints interchangeable)."""
+        identical to the unfused paths (checkpoints interchangeable).
+
+        ``aligned``: run the kernel in the lane-aligned layout — every
+        chunk of ``Gc`` groups zero-padded to 128 lanes so all per-chunk
+        slices are Mosaic-relayout-free (pads stay exact zeros through
+        conv/ReLU/dropout/adds; LayerNorm statistics divide by the live
+        channel count)."""
         from ..ops.fused_cell import (FusedCellSpec, ConvNode, LinearNode,
                                       ZeroNode, fused_cell_apply,
-                                      expand_chunked)
+                                      expand_chunked, expand_chunked_aligned,
+                                      pad_lanes, unpad_lanes)
+        LANE = 128
         C = self.filters
         ci = C // self.groups
+        S = PadConvRelu.chunk_count(self.groups, ci, ci)
+        has_conv = any(n[0] not in ('zero', 'linear') for n in self.arch_desc)
+        if aligned and (not has_conv or (C // S) % LANE == 0):
+            aligned = False     # already aligned (or nothing to align)
+        if aligned and C // S > LANE:
+            raise ValueError(f'aligned fused cell needs chunk width '
+                             f'{C // S} <= {LANE}')
         live = 0 if self.branch_semantics == 'tf_inverted' else 1
         convs = {'conv5': (5, 1), 'conv5d2': (5, 2),
                  'conv7': (7, 1), 'conv7d2': (7, 2)}
@@ -206,6 +222,9 @@ class SearchCell(nn.Module):
                 continue
             if op_name == 'linear':
                 k, b = _DenseParams(C, self.init_scheme, name=name)(C)
+                if aligned:
+                    k = pad_lanes(pad_lanes(k, S).T, S).T
+                    b = pad_lanes(b, S)
                 nodes.append(LinearNode(branches))
                 weights += [k.astype(x.dtype), b]
                 continue
@@ -213,19 +232,25 @@ class SearchCell(nn.Module):
             if not self.apply_dilation:
                 d = 1
             lpad, rpad = conv_padding(K, d, 1, pad_math=self.pad_math)
-            S = PadConvRelu.chunk_count(self.groups, ci, ci)
             kern, bias = _ConvParams(K, ci, C, self.init_scheme, name=name)()
             nodes.append(ConvNode(K, d, lpad, rpad, self.groups, S, ci, ci,
-                                  branches))
-            weights += [expand_chunked(kern, self.groups, S).astype(x.dtype),
-                        bias]
+                                  branches, lane=LANE if aligned else None))
+            if aligned:
+                kern = expand_chunked_aligned(kern, self.groups, S, LANE)
+                bias = pad_lanes(bias, S)
+            else:
+                kern = expand_chunked(kern, self.groups, S)
+            weights += [kern.astype(x.dtype), bias]
         if self.use_norm:
             scale, bias = _NormParams(name='norm')(C)
         else:
             scale = bias = jnp.zeros((C,), jnp.float32)
+        if aligned:
+            scale, bias = pad_lanes(scale, S), pad_lanes(bias, S)
         spec = FusedCellSpec(nodes, dropout_rate=self.dropout_rate,
                              train=train, ln_eps=self.norm_epsilon,
-                             use_norm=self.use_norm)
+                             use_norm=self.use_norm,
+                             c_real=C if aligned else None)
         if spec.dropping:
             rng = self.make_rng('dropout')
             seed = jax.random.randint(rng, (2,), 0,
@@ -233,4 +258,8 @@ class SearchCell(nn.Module):
                                       dtype=jnp.int32)
         else:
             seed = jnp.zeros((2,), jnp.int32)
+        if aligned:
+            y = fused_cell_apply(spec, pad_lanes(x, S), weights,
+                                 (scale, bias), seed)
+            return unpad_lanes(y, S, C)
         return fused_cell_apply(spec, x, weights, (scale, bias), seed)

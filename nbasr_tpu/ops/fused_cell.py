@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['FusedCellSpec', 'ConvNode', 'LinearNode', 'ZeroNode',
-           'fused_cell_apply', 'expand_chunked']
+           'fused_cell_apply', 'expand_chunked', 'expand_chunked_aligned',
+           'pad_lanes', 'unpad_lanes']
 
 #: Tests set this to run the kernels in interpret mode on CPU.
 INTERPRET = False
@@ -59,11 +60,55 @@ def expand_chunked(kernel, groups, chunks):
         K, Gc * cin, filters)
 
 
+def pad_lanes(x, chunks, lane=128):
+    """Pad each of ``chunks`` contiguous channel chunks to ``lane`` lanes
+    with zeros: ``[..., S*w] -> [..., S*lane]`` (aligned fused layout)."""
+    S = chunks
+    w = x.shape[-1] // S
+    if w == lane:
+        return x
+    lead = x.shape[:-1]
+    xs = x.reshape(*lead, S, w)
+    pads = [(0, 0)] * len(lead) + [(0, 0), (0, lane - w)]
+    return jnp.pad(xs, pads).reshape(*lead, S * lane)
+
+
+def unpad_lanes(x, chunks, c_real, lane=128):
+    """Inverse of :func:`pad_lanes`: ``[..., S*lane] -> [..., c_real]``."""
+    S = chunks
+    w = c_real // S
+    if w == lane:
+        return x
+    lead = x.shape[:-1]
+    return x.reshape(*lead, S, lane)[..., :w].reshape(*lead, c_real)
+
+
+def expand_chunked_aligned(kernel, groups, chunks, lane=128):
+    """Compact grouped ``[K, ci, C_out]`` -> lane-aligned chunked
+    block-diag ``[K, lane, S*lane]``: :func:`expand_chunked` with each
+    chunk's input rows and output columns zero-padded to ``lane`` so
+    every per-chunk slice inside the kernel lands on a 128-lane
+    boundary (Mosaic relayout-free)."""
+    K, cin, filters = kernel.shape
+    S = chunks
+    Gc = groups // S
+    if Gc * cin > lane:
+        raise ValueError(f'chunk input width {Gc * cin} exceeds lane {lane}')
+    w = expand_chunked(kernel, groups, chunks)          # [K, Gc*ci, C_out]
+    w = pad_lanes(w, S, lane)                           # pad output columns
+    return jnp.pad(w, ((0, 0), (0, lane - Gc * cin), (0, 0)))
+
+
 class ConvNode:
-    """Static spec of one grouped-conv node."""
+    """Static spec of one grouped-conv node.
+
+    ``lane``: when set, the per-chunk slice width/stride — activations and
+    weights are zero-padded so every chunk occupies exactly ``lane``
+    channels (the aligned layout; see :func:`expand_chunked_aligned`).
+    ``None`` = compact chunks of ``Gc * cin_pg`` channels."""
 
     def __init__(self, kernel_size, dilation, lpad, rpad, groups, chunks,
-                 cin_pg, cout_pg, branches):
+                 cin_pg, cout_pg, branches, lane=None):
         self.kind = 'conv'
         self.K = kernel_size
         self.d = dilation
@@ -74,10 +119,19 @@ class ConvNode:
         self.cin_pg = cin_pg
         self.cout_pg = cout_pg
         self.branches = tuple(branches)   # indices into outputs list
+        self.lane = lane
+
+    @property
+    def lane_in(self):
+        return self.lane or self.Gc * self.cin_pg
+
+    @property
+    def lane_out(self):
+        return self.lane or self.Gc * self.cout_pg
 
     def key(self):
         return ('conv', self.K, self.d, self.lpad, self.rpad, self.S,
-                self.Gc, self.cin_pg, self.cout_pg, self.branches)
+                self.Gc, self.cin_pg, self.cout_pg, self.branches, self.lane)
 
 
 class LinearNode:
@@ -99,15 +153,21 @@ class ZeroNode:
 
 
 class FusedCellSpec:
-    """Static description of a cell: node list + dropout + LN epsilon."""
+    """Static description of a cell: node list + dropout + LN epsilon.
+
+    ``c_real``: in the aligned layout the kernel operates on ``S*lane``
+    channels of which only ``c_real`` are live (pad lanes are exact
+    zeros); the LayerNorm statistics divide by ``c_real``.  ``None`` =
+    compact layout, statistics over the full width."""
 
     def __init__(self, nodes, dropout_rate=0.0, train=False,
-                 ln_eps=_LN_EPS_DEFAULT, use_norm=True):
+                 ln_eps=_LN_EPS_DEFAULT, use_norm=True, c_real=None):
         self.nodes = tuple(nodes)
         self.dropout_rate = float(dropout_rate)
         self.train = bool(train)
         self.ln_eps = float(ln_eps)
         self.use_norm = bool(use_norm)
+        self.c_real = c_real
 
     @property
     def dropping(self):
@@ -115,7 +175,7 @@ class FusedCellSpec:
 
     def key(self):
         return (tuple(n.key() for n in self.nodes), self.dropout_rate,
-                self.train, self.ln_eps, self.use_norm)
+                self.train, self.ln_eps, self.use_norm, self.c_real)
 
     @property
     def max_pad(self):
@@ -180,8 +240,8 @@ def _node_weight_count(node):
 def _emit_conv(node, src, pad_ref, acc_ref, w_ref, b_ref, T, C):
     """conv(src) + bias into acc_ref; src is a [T, C] array (VMEM value)."""
     lpad, rpad, K, d, S = node.lpad, node.rpad, node.K, node.d, node.S
-    Gci = node.Gc * node.cin_pg
-    Gco = node.Gc * node.cout_pg
+    Gci = node.lane_in
+    Gco = node.lane_out
     if lpad:
         pad_ref[:lpad, :] = jnp.zeros((lpad, C), pad_ref.dtype)
     pad_ref[lpad:lpad + T, :] = src.astype(pad_ref.dtype)
@@ -250,8 +310,17 @@ def _fwd_kernel(spec, T, C, seed_ref, x_ref, *refs):
 
     xf = outs_ref[n_nodes].astype(jnp.float32)
     if spec.use_norm:
-        mu = jnp.mean(xf, axis=1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        if spec.c_real:
+            # pad lanes are exact zeros: sums over the full width equal
+            # sums over live channels; divide by the live count and use
+            # the E[x^2]-mu^2 form (pads would bias the two-pass form).
+            cr = np.float32(spec.c_real)
+            mu = jnp.sum(xf, axis=1, keepdims=True) / cr
+            var = (jnp.sum(jnp.square(xf), axis=1, keepdims=True) / cr
+                   - jnp.square(mu))
+        else:
+            mu = jnp.mean(xf, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
         xhat = (xf - mu) * jax.lax.rsqrt(var + spec.ln_eps)
         out = (xhat * scale_ref[0, :].astype(jnp.float32)[None, :]
                + bias_ref[0, :].astype(jnp.float32)[None, :])
@@ -331,8 +400,15 @@ def _bwd_kernel(spec, T, C, seed_ref, x_ref, dy_ref, *refs):
     xf = outs_ref[n_nodes].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
     if spec.use_norm:
-        mu = jnp.mean(xf, axis=1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        if spec.c_real:
+            cr = np.float32(spec.c_real)
+            mu = jnp.sum(xf, axis=1, keepdims=True) / cr
+            var = (jnp.sum(jnp.square(xf), axis=1, keepdims=True) / cr
+                   - jnp.square(mu))
+        else:
+            cr = np.float32(C)
+            mu = jnp.mean(xf, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
         inv = jax.lax.rsqrt(var + spec.ln_eps)
         xhat = (xf - mu) * inv
         sc = scale_ref[0, :].astype(jnp.float32)[None, :]
@@ -344,9 +420,12 @@ def _bwd_kernel(spec, T, C, seed_ref, x_ref, dy_ref, *refs):
 
         dscale_ref[0, :] += jnp.sum(dy * xhat, axis=0)
         dbias_ref[0, :] += jnp.sum(dy, axis=0)
+        # dy pad lanes are exact zeros (the unpad slice's VJP), so these
+        # sums over the padded width equal sums over live channels.
         dxhat = dy * sc
-        g_last = (dxhat - jnp.mean(dxhat, axis=1, keepdims=True)
-                  - xhat * jnp.mean(dxhat * xhat, axis=1, keepdims=True)) * inv
+        g_last = (dxhat - jnp.sum(dxhat, axis=1, keepdims=True) / cr
+                  - xhat * (jnp.sum(dxhat * xhat, axis=1, keepdims=True)
+                            / cr)) * inv
     else:
         g_last = dy
     for n in range(n_nodes + 1):
@@ -394,8 +473,8 @@ def _bwd_kernel(spec, T, C, seed_ref, x_ref, dy_ref, *refs):
 
         # conv: rebuild the padded source, then dw and dx on the MXU
         lpad, K, d, S = node.lpad, node.K, node.d, node.S
-        Gci = node.Gc * node.cin_pg
-        Gco = node.Gc * node.cout_pg
+        Gci = node.lane_in
+        Gco = node.lane_out
         if lpad:
             pad_ref[:lpad, :] = jnp.zeros((lpad, C), pad_ref.dtype)
         pad_ref[lpad:lpad + T, :] = outs_ref[n]
@@ -438,8 +517,7 @@ def _weight_shapes(spec, C):
     shapes = []
     for node in spec.nodes:
         if node.kind == 'conv':
-            Gci = node.Gc * node.cin_pg
-            shapes += [(node.K, Gci, C), (1, C)]
+            shapes += [(node.K, node.lane_in, C), (1, C)]
         elif node.kind == 'linear':
             shapes += [(C, C), (1, C)]
     return shapes

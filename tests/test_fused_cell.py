@@ -24,12 +24,12 @@ def _interpret(monkeypatch):
         yield
 
 
-def _pair(arch, **overrides):
+def _pair(arch, impl='fused', **overrides):
     kw = dict(filters=24, arch_desc=arch, dropout_rate=0.0, groups=4,
               init_scheme='scaled')
     kw.update(overrides)
     return (SearchCell(grouped_impl='masked_dense', **kw),
-            SearchCell(grouped_impl='fused', **kw))
+            SearchCell(grouped_impl=impl, **kw))
 
 
 def _x(B=2, T=21, C=24, seed=0):
@@ -37,9 +37,10 @@ def _x(B=2, T=21, C=24, seed=0):
                        jnp.float32)
 
 
+@pytest.mark.parametrize('impl', ['fused', 'fused_aligned'])
 @pytest.mark.parametrize('arch', ARCHS, ids=['flagship', 'dilated', 'zero+lin'])
-def test_forward_matches_unfused(arch):
-    ref, fus = _pair(arch)
+def test_forward_matches_unfused(arch, impl):
+    ref, fus = _pair(arch, impl)
     x = _x()
     v = ref.init(jax.random.PRNGKey(0), x)
     assert (jax.tree_util.tree_structure(v)
@@ -50,9 +51,10 @@ def test_forward_matches_unfused(arch):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('impl', ['fused', 'fused_aligned'])
 @pytest.mark.parametrize('arch', ARCHS, ids=['flagship', 'dilated', 'zero+lin'])
-def test_gradients_match_unfused(arch):
-    ref, fus = _pair(arch)
+def test_gradients_match_unfused(arch, impl):
+    ref, fus = _pair(arch, impl)
     x = _x(seed=1)
     v = ref.init(jax.random.PRNGKey(0), x)
     ga = jax.grad(lambda v, x: jnp.sum(ref.apply(v, x) ** 2),
