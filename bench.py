@@ -56,24 +56,37 @@ def main():
     latency = float(np.median(times))
 
     # --- training throughput (secondary; bf16 encoder = TPU-native path) ---
+    # grouped_impl='fused_aligned': the measured-best single-chip path —
+    # whole-cell Pallas kernel in the 128-lane-aligned chunk layout
+    # (PERF.md round 2: 32 ms/step vs 37 ms for the XLA 'chunked' path).
     bf16_model = get_model(arch, use_rnn=True, dropout_rate=0.2,
-                           data_norm=True, compute_dtype=jnp.bfloat16)
+                           data_norm=True, compute_dtype=jnp.bfloat16,
+                           grouped_impl='fused_aligned')
     loaders = get_dataloaders('synthetic:64', batch_size=32, curriculum=())
     trainer = get_trainer(loaders, get_loss(), verbose=False,
                           eval_decoder='greedy')
     trainer.init_state(bf16_model, seed=0)
     batch = trainer._put_batch(next(iter(loaders[1])))
     audio_seconds = float(batch['feature_size'].sum()) * 0.010
-    # MFU numerator: XLA-counted step FLOPs (before any donation frees the
-    # initial state's buffers).  XLA counts the chunked grouped convs'
-    # padded FLOPs, so this is *hardware* utilisation; the model's
-    # algorithmic FLOPs are lower.
+    # MFU numerator: XLA-counted step FLOPs of the 'chunked' formulation —
+    # the fused Pallas kernel runs the SAME block-diagonal chunk matmuls
+    # (Mosaic kernels don't report FLOPs to XLA's cost analysis), so the
+    # chunked lowering is the faithful hardware FLOP count (slight
+    # undercount: the aligned layout pads chunks 120->128 lanes).
     try:
-        cost = trainer._train_step.lower(
-            trainer.state, batch, jnp.float32(1e-4)).compile().cost_analysis()
+        chunked_model = get_model(arch, use_rnn=True, dropout_rate=0.2,
+                                  data_norm=True,
+                                  compute_dtype=jnp.bfloat16,
+                                  grouped_impl='chunked')
+        ctrainer = get_trainer(loaders, get_loss(), verbose=False,
+                               eval_decoder='greedy')
+        ctrainer.init_state(chunked_model, seed=0)
+        cost = ctrainer._train_step.lower(
+            ctrainer.state, batch, jnp.float32(1e-4)).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost.get('flops', 0.0))
+        del ctrainer
     except Exception:
         step_flops = 0.0
 
