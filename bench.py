@@ -56,23 +56,25 @@ def main():
     latency = float(np.median(times))
 
     # --- training throughput (secondary; bf16 encoder = TPU-native path) ---
-    # grouped_impl='fused_aligned': the measured-best single-chip path —
-    # whole-cell Pallas kernel in the 128-lane-aligned chunk layout
-    # (PERF.md round 2: 32 ms/step vs 37 ms for the XLA 'chunked' path).
+    # grouped_impl='auto': on TPU this resolves to 'fused_aligned' — the
+    # whole-cell Pallas kernel in the 128-lane-aligned chunk layout — so the
+    # bench measures exactly what train.py / sweep users get by default
+    # (VERDICT r2 next #1; hardware exactness gate: tests/test_fused_hw.py).
     bf16_model = get_model(arch, use_rnn=True, dropout_rate=0.2,
                            data_norm=True, compute_dtype=jnp.bfloat16,
-                           grouped_impl='fused_aligned')
+                           grouped_impl='auto')
     loaders = get_dataloaders('synthetic:64', batch_size=32, curriculum=())
     trainer = get_trainer(loaders, get_loss(), verbose=False,
                           eval_decoder='greedy')
     trainer.init_state(bf16_model, seed=0)
     batch = trainer._put_batch(next(iter(loaders[1])))
     audio_seconds = float(batch['feature_size'].sum()) * 0.010
-    # MFU numerator: XLA-counted step FLOPs of the 'chunked' formulation —
-    # the fused Pallas kernel runs the SAME block-diagonal chunk matmuls
-    # (Mosaic kernels don't report FLOPs to XLA's cost analysis), so the
-    # chunked lowering is the faithful hardware FLOP count (slight
-    # undercount: the aligned layout pads chunks 120->128 lanes).
+    # Hardware-busy MFU numerator: XLA-counted step FLOPs of the 'chunked'
+    # formulation — the fused Pallas kernel runs the SAME block-diagonal
+    # chunk matmuls (Mosaic kernels don't report FLOPs to XLA's cost
+    # analysis), so the chunked lowering is the faithful hardware FLOP
+    # count (slight undercount: the aligned layout pads chunks 120->128).
+    ctrainer = None
     try:
         chunked_model = get_model(arch, use_rnn=True, dropout_rate=0.2,
                                   data_norm=True,
@@ -86,9 +88,16 @@ def main():
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost.get('flops', 0.0))
-        del ctrainer
     except Exception:
         step_flops = 0.0
+    finally:
+        del ctrainer  # free the second param+optimizer state's HBM
+    # Algorithmic MFU numerator: the true math FLOPs of the step (no
+    # chunk-padding/block-diag redundancy) — the honest number (VERDICT r2
+    # weak #2).
+    from nbasr_tpu.models.asr import algorithmic_flops
+    algo_flops = algorithmic_flops(bf16_model, int(batch['audio'].shape[0]),
+                                   int(batch['feature_size'].max()))
 
     state = trainer._train_step(trainer.state, batch, jnp.float32(1e-4))
     jax.block_until_ready(state.params)  # compile
@@ -101,6 +110,7 @@ def main():
     throughput = audio_seconds / step_time
     # v5e peak: 197 bf16 TFLOP/s
     mfu = step_flops / (step_time * 197e12) if step_flops else None
+    algo_mfu = algo_flops / (step_time * 197e12) if algo_flops else None
 
     baseline = 0.04320073127746582  # GTX 1080 Ti fp32, README.md:61
     print(json.dumps({
@@ -111,7 +121,9 @@ def main():
         'train_audio_seconds_per_sec_per_chip': throughput,
         'train_step_seconds': step_time,
         'train_step_tflops': step_flops / 1e12 if step_flops else None,
-        'train_mfu': mfu,
+        'train_mfu': mfu,                  # hardware-busy (XLA-counted)
+        'algorithmic_tflops': algo_flops / 1e12,
+        'algorithmic_mfu': algo_mfu,       # true-math FLOPs / peak
         'device': str(jax.devices()[0]),
     }))
 

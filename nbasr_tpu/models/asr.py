@@ -24,7 +24,8 @@ from ..search_space import arch_vec_to_names
 from .cell import SearchCell, CELL_DROPOUT
 from .layers import MeanVarianceNorm, PadConvRelu, norm_eps
 
-__all__ = ['ASRModel', 'get_model', 'count_params', 'logits_length']
+__all__ = ['ASRModel', 'get_model', 'count_params', 'logits_length',
+           'algorithmic_flops']
 
 _BLOCK_KERNELS = (8, 8, 8, 8)
 _BLOCK_STRIDES = (1, 1, 2, 2)
@@ -213,3 +214,40 @@ def count_params(params):
     """Total number of elements in a parameter pytree."""
     import jax
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def algorithmic_flops(model, batch, frames, train=True):
+    """*Algorithmic* matmul FLOPs of one step: the true math of the model,
+    independent of implementation (the chunked/fused grouped-conv
+    formulations burn ~Gc× redundant hardware FLOPs for MXU occupancy —
+    XLA's cost analysis counts those; this function does not).
+
+    Counts multiply-adds as 2 FLOPs for the block convs, cell ops (true
+    grouped-conv cost ``2·B·T·K·G·ci·co``), LSTM and head; elementwise work
+    (LayerNorm, ReLU, dropout, frontend, CTC) is excluded, per the usual
+    MFU convention.  ``train=True`` multiplies by 3 (backward ≈ 2× forward).
+    """
+    B, T = batch, frames
+    fwd = 0.0
+    t = T
+    cin = 80
+    for k, s, c, cells in zip(model.block_kernels, model.block_strides,
+                              model.block_filters, model.cells_per_block):
+        t = -(-t // s)
+        fwd += 2.0 * B * t * k * cin * c          # dense block conv
+        g = model.cell_groups
+        ci = c // g
+        per_conv = 2.0 * B * t * g * ci * ci      # per kernel tap
+        for op_name, *_ in model.arch_desc:
+            if op_name == 'linear':
+                fwd += cells * 2.0 * B * t * c * c
+            elif op_name.startswith('conv'):
+                ksize = int(op_name[4])           # conv5* / conv7*
+                fwd += cells * per_conv * ksize
+        cin = c
+    if model.use_rnn:
+        h = model.rnn_units
+        fwd += 2.0 * B * t * 4 * h * (cin + h)
+        cin = h
+    fwd += 2.0 * B * t * cin * (model.num_classes + 1)
+    return fwd * (3.0 if train else 1.0)

@@ -94,6 +94,9 @@ def expand_chunked_aligned(kernel, groups, chunks, lane=128):
     Gc = groups // S
     if Gc * cin > lane:
         raise ValueError(f'chunk input width {Gc * cin} exceeds lane {lane}')
+    if filters // S > lane:
+        raise ValueError(f'chunk output width {filters // S} exceeds '
+                         f'lane {lane}')
     w = expand_chunked(kernel, groups, chunks)          # [K, Gc*ci, C_out]
     w = pad_lanes(w, S, lane)                           # pad output columns
     return jnp.pad(w, ((0, 0), (0, lane - Gc * cin), (0, 0)))
@@ -183,6 +186,29 @@ class FusedCellSpec:
         if not pads:
             return (0, 0)
         return (max(p[0] for p in pads), max(p[1] for p in pads))
+
+
+def _live_lane_mask(spec, T, C):
+    """[T, C] mask of live (non-pad) lanes in the aligned layout: each of
+    the C // 128 chunks carries ``c_real // S`` live channels left-aligned
+    in its 128 lanes."""
+    S = C // 128
+    w = spec.c_real // S
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1) % 128
+    return lane < w
+
+
+def _masked_ln_stats(spec, xf, T, C):
+    """(mu, var) over live channels only.  Pads are exact zeros, so the
+    mean sum needs no mask; the variance uses the true two-pass form with
+    pad lanes masked out of the sum — exact, and free of the cancellation
+    both the one-pass E[x^2]-mu^2 form and the n_pad*mu^2-corrected form
+    suffer when |mu| is large (ADVICE r2 #4)."""
+    cr = np.float32(spec.c_real)
+    mu = jnp.sum(xf, axis=1, keepdims=True) / cr
+    d = jnp.where(_live_lane_mask(spec, T, C), xf - mu, 0.0)
+    var = jnp.sum(jnp.square(d), axis=1, keepdims=True) / cr
+    return mu, var
 
 
 def _keep_threshold(rate):
@@ -311,13 +337,7 @@ def _fwd_kernel(spec, T, C, seed_ref, x_ref, *refs):
     xf = outs_ref[n_nodes].astype(jnp.float32)
     if spec.use_norm:
         if spec.c_real:
-            # pad lanes are exact zeros: sums over the full width equal
-            # sums over live channels; divide by the live count and use
-            # the E[x^2]-mu^2 form (pads would bias the two-pass form).
-            cr = np.float32(spec.c_real)
-            mu = jnp.sum(xf, axis=1, keepdims=True) / cr
-            var = (jnp.sum(jnp.square(xf), axis=1, keepdims=True) / cr
-                   - jnp.square(mu))
+            mu, var = _masked_ln_stats(spec, xf, T, C)
         else:
             mu = jnp.mean(xf, axis=1, keepdims=True)
             var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
@@ -402,9 +422,7 @@ def _bwd_kernel(spec, T, C, seed_ref, x_ref, dy_ref, *refs):
     if spec.use_norm:
         if spec.c_real:
             cr = np.float32(spec.c_real)
-            mu = jnp.sum(xf, axis=1, keepdims=True) / cr
-            var = (jnp.sum(jnp.square(xf), axis=1, keepdims=True) / cr
-                   - jnp.square(mu))
+            mu, var = _masked_ln_stats(spec, xf, T, C)
         else:
             cr = np.float32(C)
             mu = jnp.mean(xf, axis=1, keepdims=True)

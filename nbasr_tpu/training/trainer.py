@@ -123,6 +123,9 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._decode_step = None
+        #: shape-keyed AOT-compiled eval executables (see prewarm_eval)
+        self._eval_compiled = {}
+        self._prewarm_thread = None
 
     # ------------------------------------------------------------------
     # functional core
@@ -200,6 +203,7 @@ class Trainer:
         self._train_step = self._jit_train_step(train_step)
         self._eval_step = self._jit_eval_step(eval_step)
         self._decode_step = None  # lazily rebuilt for the new model
+        self._eval_compiled = {}  # AOT executables are model-specific
 
     # Overridable jit/placement hooks (ParallelTrainer shards here).
     def _jit_train_step(self, fn):
@@ -300,6 +304,9 @@ class Trainer:
         stream = (iter(self.data_train) if hasattr(self.data_train, 'full')
                   else forever(self.data_train))
         nonfinite_seen = 0
+        if self.eval_decoder == 'beam' and start_epoch <= epochs:
+            # overlap the (expensive) beam-eval compile with epoch-1 training
+            self.prewarm_eval()
 
         tb = None
         if out_dir is not None and self.tensorboard:
@@ -394,6 +401,59 @@ class Trainer:
                 pickle.dump(test_scores, f)
         return history, test_scores
 
+    @staticmethod
+    def _batch_sig(batch):
+        return tuple(sorted((k, tuple(np.shape(v)), str(np.asarray(v).dtype)
+                             if not hasattr(v, 'dtype') else str(v.dtype))
+                            for k, v in batch.items()))
+
+    def prewarm_eval(self, loader=None):
+        """AOT-compile the eval step for every distinct bucket shape of
+        ``loader`` in a background thread.
+
+        The beam-width-12 eval step is the compile pole of a cold sweep
+        job (~86 s cold on the axon remote-compile, PERF.md); training
+        epoch 1 doesn't need it, so overlapping the compile with epoch-1
+        training hides the entire cold cost (wall = max(epoch, compile)
+        instead of the sum).  ``evaluate`` joins the thread and then calls
+        the AOT executables directly.  Reference counterpart: the TF
+        decoder's graph build inside ``test_step``
+        (``training/tf/metrics/ctc.py:82-88``)."""
+        import threading
+        loader = loader if loader is not None else self.data_validate
+        sigs = {}
+        for batch in loader:
+            # run _put_batch so shapes/shardings match what evaluate sees
+            # (ParallelTrainer pads rows and places on the mesh)
+            placed = self._put_batch(batch)
+            sig = self._batch_sig(placed)
+            if sig not in sigs:
+                sigs[sig] = placed
+        acc = zeros_like_metrics()
+        params = self.state.params
+
+        def compile_all():
+            for sig, placed in sigs.items():
+                if sig in self._eval_compiled:
+                    continue
+                try:
+                    self._eval_compiled[sig] = self._eval_step.lower(
+                        params, placed, acc).compile()
+                except Exception:   # pragma: no cover - diagnostics only
+                    return
+        self._prewarm_thread = threading.Thread(target=compile_all,
+                                                daemon=True)
+        self._prewarm_thread.start()
+
+    def _run_eval_step(self, params, batch, acc):
+        if self._prewarm_thread is not None:
+            self._prewarm_thread.join()
+            self._prewarm_thread = None
+        compiled = self._eval_compiled.get(self._batch_sig(batch))
+        if compiled is not None:
+            return compiled(params, batch, acc)
+        return self._eval_step(params, batch, acc)
+
     def evaluate(self, loader, return_transcripts=0):
         """Run eval over a loader; returns {'ctc_loss', 'wer', 'ler'} ratios.
 
@@ -409,7 +469,7 @@ class Trainer:
             batch = self._put_batch(batch)
             if return_transcripts and not transcripts:
                 transcripts = self.transcribe(batch, limit=return_transcripts)
-            acc = self._eval_step(self.state.params, batch, acc)
+            acc = self._run_eval_step(self.state.params, batch, acc)
         if return_transcripts:
             return ratios(acc), transcripts
         return ratios(acc)
@@ -450,8 +510,8 @@ class Trainer:
         if training:
             self.state = self._train_step(self.state, batch, jnp.float32(lr))
             return ratios(self.state.metrics)
-        return ratios(self._eval_step(self.state.params, batch,
-                                      zeros_like_metrics()))
+        return ratios(self._run_eval_step(self.state.params, batch,
+                                          zeros_like_metrics()))
 
     # -- checkpointing (weights + optimizer, auto-resume) ---------------
 

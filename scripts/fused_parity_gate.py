@@ -1,0 +1,168 @@
+"""Hardware exactness gate for the fused_aligned cell kernel.
+
+VERDICT r2 next #1(a): before the fused whole-cell Pallas kernel may be
+the ``grouped_impl='auto'`` default on TPU, its forward AND gradients must
+be asserted against the pure-XLA ``'chunked'`` path **on the real chip**
+at flagship shapes — interpret-mode parity (tests/test_fused_cell.py) is
+not hardware (Mosaic relayouts, the hardware PRNG, and MXU rounding all
+differ from the CPU emulation).  This script is that gate:
+
+  1. forward + full gradient parity fused_aligned vs chunked, dropout off,
+     f32 highest-precision, at the flagship block shapes
+     (C=600, groups=100, T=301) and a dilated/branchy arch;
+  2. the same in bf16 (training dtype) with bf16-appropriate tolerances;
+  3. dropout-mask fwd/bwd consistency of the hardware-PRNG reseed
+     (ops/fused_cell.py _Prng): a directional finite difference with a
+     fixed rng must match the analytic gradient — only possible when the
+     backward kernel regenerates exactly the masks the forward drew;
+  4. 'auto' must resolve to 'fused_aligned' on this platform.
+
+Exit code 0 + a JSON line with ``"ok": true`` = gate passed.  Skips
+(exit 0, ``"skipped"``) off-TPU.  Run by tests/test_fused_hw.py in a
+subprocess so the CPU-pinned pytest suite can still drive the real chip.
+"""
+
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/nbasr_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    if jax.devices()[0].platform != 'tpu':
+        print(json.dumps({'ok': True, 'skipped': 'not on TPU',
+                          'platform': jax.devices()[0].platform}))
+        return 0
+
+    from nbasr_tpu.models.cell import SearchCell
+
+    results = {}
+
+    # flagship block-0 cell + a dilated/branchy arch at block-3 width
+    cases = [
+        ('flagship_b0', (('conv5', 0), ('conv5', 0, 0), ('conv5', 0, 0, 0)),
+         600),
+        ('dilated_b3', (('conv5d2', 1), ('conv7', 1, 0), ('linear', 0, 1, 1)),
+         1200),
+    ]
+    B, T = 8, 301
+
+    def build(arch, C, impl, dropout=0.0):
+        return SearchCell(filters=C, arch_desc=arch, dropout_rate=dropout,
+                          groups=100, init_scheme='scaled',
+                          grouped_impl=impl)
+
+    # 4. auto resolution on this platform
+    assert build(cases[0][1], 600, 'auto')._resolve_impl() == 'fused_aligned', \
+        "'auto' must resolve to fused_aligned on TPU"
+    results['auto_resolves_fused'] = True
+
+    for name, arch, C in cases:
+        x = jnp.asarray(np.random.RandomState(0).randn(B, T, C) * 0.5,
+                        jnp.float32)
+        ref = build(arch, C, 'chunked')
+        fus = build(arch, C, 'fused_aligned')
+        assert fus._resolve_impl() == 'fused_aligned'
+        v = ref.init(jax.random.PRNGKey(0), x)
+
+        # ---- 1. f32 highest-precision forward + gradient parity ----
+        with jax.default_matmul_precision('highest'):
+            ya = jax.jit(ref.apply)(v, x)
+            yb = jax.jit(fus.apply)(v, x)
+            fa = jax.jit(jax.grad(lambda v, x: jnp.sum(ref.apply(v, x) ** 2),
+                                  argnums=(0, 1)))
+            fb = jax.jit(jax.grad(lambda v, x: jnp.sum(fus.apply(v, x) ** 2),
+                                  argnums=(0, 1)))
+            ga, gb = fa(v, x), fb(v, x)
+        fwd_err = float(jnp.max(jnp.abs(ya - yb))
+                        / (jnp.max(jnp.abs(ya)) + 1e-9))
+        assert fwd_err < 1e-5, f'{name}: f32 forward rel err {fwd_err}'
+        grad_errs = {}
+        for (path, la), (_, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(ga),
+                jax.tree_util.tree_leaves_with_path(gb)):
+            scale = float(jnp.abs(la).max()) + 1e-6
+            err = float(jnp.abs(la - lb).max()) / scale
+            grad_errs[jax.tree_util.keystr(path)] = err
+            assert err < 1e-4, \
+                f'{name}: f32 grad {jax.tree_util.keystr(path)} rel err {err}'
+        results[f'{name}_f32_fwd_relerr'] = fwd_err
+        results[f'{name}_f32_grad_max_relerr'] = max(grad_errs.values())
+
+        # ---- 2. bf16 (training dtype) parity ----
+        xb = x.astype(jnp.bfloat16)
+        ya = jax.jit(ref.apply)(v, xb).astype(jnp.float32)
+        yb = jax.jit(fus.apply)(v, xb).astype(jnp.float32)
+        fwd_err16 = float(jnp.max(jnp.abs(ya - yb))
+                          / (jnp.max(jnp.abs(ya)) + 1e-9))
+        # bf16 has ~2^-8 relative precision; chunked and fused reduce in a
+        # different order, so allow a few ulps through the LayerNorm chain
+        assert fwd_err16 < 0.05, f'{name}: bf16 forward rel err {fwd_err16}'
+        ga = jax.jit(jax.grad(
+            lambda v, x: jnp.sum(ref.apply(v, x).astype(jnp.float32) ** 2),
+            argnums=(0,)))(v, xb)
+        gb = jax.jit(jax.grad(
+            lambda v, x: jnp.sum(fus.apply(v, x).astype(jnp.float32) ** 2),
+            argnums=(0,)))(v, xb)
+        worst = 0.0
+        for (path, la), (_, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(ga),
+                jax.tree_util.tree_leaves_with_path(gb)):
+            la = la.astype(jnp.float32)
+            lb = lb.astype(jnp.float32)
+            scale = float(jnp.abs(la).max()) + 1e-6
+            err = float(jnp.abs(la - lb).max()) / scale
+            worst = max(worst, err)
+            assert err < 0.08, \
+                f'{name}: bf16 grad {jax.tree_util.keystr(path)} rel err {err}'
+        results[f'{name}_bf16_fwd_relerr'] = fwd_err16
+        results[f'{name}_bf16_grad_max_relerr'] = worst
+
+    # ---- 3. hardware-PRNG dropout fwd/bwd mask consistency ----
+    name, arch, C = cases[0]
+    cell = build(arch, C, 'fused_aligned', dropout=0.2)
+    x = jnp.asarray(np.random.RandomState(1).randn(B, T, C) * 0.5,
+                    jnp.float32)
+    v = cell.init(jax.random.PRNGKey(0), x)
+    r = jax.random.PRNGKey(11)
+
+    with jax.default_matmul_precision('highest'):
+        def f(x):
+            return jnp.sum(cell.apply(v, x, True, rngs={'dropout': r}) ** 2)
+
+        f = jax.jit(f)
+        # determinism: two forwards with the same rng bit-match (the
+        # hardware PRNG reseed is a pure function of (seed, program_id))
+        y1 = f(x)
+        y2 = f(x)
+        assert float(jnp.abs(y1 - y2)) == 0.0, 'fwd not deterministic'
+        g = jax.jit(jax.grad(f))(x)
+        rng = np.random.RandomState(0)
+        vdir = jnp.asarray(rng.randn(*x.shape), jnp.float32)
+        vdir = vdir / jnp.linalg.norm(vdir)
+        eps = 1e-2
+        fd = (f(x + eps * vdir) - f(x - eps * vdir)) / (2 * eps)
+        an = jnp.sum(g * vdir)
+        rel = float(jnp.abs(fd - an) / (jnp.abs(fd) + 1e-9))
+    assert rel < 2e-2, f'dropout fwd/bwd mask inconsistency: fd rel err {rel}'
+    results['dropout_fd_relerr'] = rel
+
+    results['ok'] = True
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

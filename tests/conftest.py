@@ -8,7 +8,10 @@ import os
 
 # Must be set before jax is imported anywhere.  Hard-set (not setdefault):
 # the environment pins JAX_PLATFORMS=axon for the real-TPU tunnel, but tests
-# must run on the virtual CPU mesh.
+# must run on the virtual CPU mesh.  Stash the original so hardware-gated
+# tests (test_fused_hw.py) can reach the real chip via a subprocess.
+os.environ.setdefault('NBASR_HW_JAX_PLATFORMS',
+                      os.environ.get('JAX_PLATFORMS', ''))
 os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:

@@ -8,7 +8,9 @@ import jax
 import jax.numpy as jnp
 
 import nbasr_tpu.ops.fused_cell as fused_cell
+import nbasr_tpu.models.cell as cell_mod
 from nbasr_tpu.models.cell import SearchCell
+from nbasr_tpu.models.layers import PadConvRelu
 
 ARCHS = [
     (('conv5', 0), ('conv5', 0, 0), ('conv5', 0, 0, 0)),     # flagship
@@ -114,6 +116,83 @@ def test_dropout_deterministic_and_scaled():
     assert 0.35 < rate < 0.65            # ~0.5 drop rate
     ratio = y_tr[kept] / y_eval[kept]
     np.testing.assert_allclose(ratio, 2.0, rtol=1e-3)  # 1/(1-p) scaling
+
+
+@pytest.mark.parametrize('impl', ['fused', 'fused_aligned'])
+def test_multichunk_parity(monkeypatch, impl):
+    """S>=2 chunk layouts (the flagship case): per-chunk padding/unpadding
+    and slicing must match the unfused path — forward and gradients
+    (ADVICE r2 #1: the small-shape tests resolve to S=1)."""
+    monkeypatch.setattr(PadConvRelu, 'chunk_count',
+                        staticmethod(lambda groups, cin, cout: 2))
+    ref, fus = _pair(ARCHS[1], impl)
+    x = _x(seed=4)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(fus.apply(v, x)),
+                               rtol=1e-5, atol=1e-5)
+    ga = jax.grad(lambda v, x: jnp.sum(ref.apply(v, x) ** 2),
+                  argnums=(0, 1))(v, x)
+    gb = jax.grad(lambda v, x: jnp.sum(fus.apply(v, x) ** 2),
+                  argnums=(0, 1))(v, x)
+    for (path, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(ga),
+                                   jax.tree_util.tree_leaves_with_path(gb)):
+        scale = float(jnp.abs(la).max()) + 1e-3
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=0, atol=3e-3 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_auto_resolves_by_platform(monkeypatch):
+    """'auto' -> 'chunked' on CPU; the AUTO_CELL_IMPL override forces the
+    fused path (what TPU gets); ineligible shapes silently fall back."""
+    cell = SearchCell(filters=24, arch_desc=ARCHS[0], dropout_rate=0.0,
+                      groups=4, init_scheme='scaled', grouped_impl='auto')
+    assert cell._resolve_impl() == 'chunked'  # CPU test platform
+    monkeypatch.setattr(cell_mod, 'AUTO_CELL_IMPL', 'fused_aligned')
+    assert cell._resolve_impl() == 'fused_aligned'
+    x = _x()
+    ref, auto = _pair(ARCHS[0], 'auto')
+    v = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(auto.apply(v, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ineligible_shapes_fall_back_silently():
+    """filters // S > 128 used to raise (VERDICT r2 weak #5); it must now
+    run the chunked path with an identical parameter tree and output."""
+    kw = dict(filters=288, arch_desc=ARCHS[0], dropout_rate=0.0, groups=2,
+              init_scheme='scaled')
+    fus = SearchCell(grouped_impl='fused_aligned', **kw)
+    assert fus._resolve_impl() == 'chunked'
+    ref = SearchCell(grouped_impl='chunked', **kw)
+    x = _x(C=288)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(fus.init(jax.random.PRNGKey(0), x)))
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(fus.apply(v, x)), rtol=1e-6, atol=0)
+
+
+def test_fused_composes_with_shard_map():
+    """The fused cell under a dp mesh via shard_map (interpret mode):
+    per-device batch shards, bit-identical to the unsharded run
+    (VERDICT r2 next #6)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    _, fus = _pair(ARCHS[0], 'fused_aligned')
+    x = _x(B=8)
+    v = fus.init(jax.random.PRNGKey(0), x)
+    want = fus.apply(v, x)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ('data',))
+    apply_sharded = jax.jit(jax.shard_map(
+        lambda v, x: fus.apply(v, x), mesh=mesh,
+        in_specs=(P(), P('data')), out_specs=P('data'),
+        check_vma=False))
+    got = apply_sharded(v, x)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
 def test_dropout_gradients_are_mask_consistent():

@@ -193,3 +193,24 @@ def test_eval_with_beam_decoder(tiny_loaders):
     m = trainer.evaluate(tiny_loaders[2])
     assert np.isfinite(m['ctc_loss'])
     assert 0 <= m['ler'] <= 2.0
+
+
+def test_prewarm_eval_compiles_and_matches(tiny_loaders):
+    """prewarm_eval AOT-compiles the eval step per bucket shape on a
+    background thread; evaluate() must join it, use the compiled
+    executables, and produce identical metrics (VERDICT r2 next #7: the
+    cold beam compile overlaps epoch-1 training instead of serialising
+    after it)."""
+    trainer = _tiny_trainer(loaders=tiny_loaders)
+    model = tiny_model()
+    trainer.init_state(model, seed=0)
+    baseline = trainer.evaluate(tiny_loaders[2])
+
+    trainer2 = _tiny_trainer(loaders=tiny_loaders)
+    trainer2.init_state(model, seed=0)
+    trainer2.prewarm_eval(tiny_loaders[2])
+    m = trainer2.evaluate(tiny_loaders[2])
+    assert trainer2._prewarm_thread is None          # joined
+    assert len(trainer2._eval_compiled) >= 1         # used AOT executables
+    for k in baseline:
+        np.testing.assert_allclose(m[k], baseline[k], rtol=1e-6)

@@ -47,8 +47,11 @@ def main():
                              'faster on TPU; float32 matches the reference)')
     parser.add_argument('--grouped_impl', type=str, default='auto',
                         choices=['auto', 'native', 'masked_dense', 'pallas',
-                                 'pallas_split'],
-                        help='grouped-conv implementation for the cell ops')
+                                 'pallas_split', 'chunked', 'fused',
+                                 'fused_aligned'],
+                        help='grouped-conv implementation for the cell ops '
+                             "('auto' = fused_aligned Pallas cell on TPU, "
+                             "chunked elsewhere)")
     parser.add_argument('--matmul_precision', type=str, default=None,
                         choices=['default', 'high', 'highest'],
                         help='XLA dot/conv precision for f32 operands; '
