@@ -190,6 +190,13 @@ class PadConvRelu(nn.Module):
             eye = jnp.eye(Gc, dtype=kernel.dtype)
             w = jnp.einsum('kcsgo,gh->khcsgo', kg, eye).reshape(
                 self.kernel_size, Gc * cin, self.filters)
+            # MUST stay: without this barrier XLA (TPU, default matmul
+            # precision) fuses the block-diagonal expansion into the
+            # grouped conv and mis-rewrites the combination — outputs are
+            # off by O(1) relative error, not rounding (caught by the r3
+            # hardware gate, scripts/fused_parity_gate.py; minimal repro:
+            # conv(x, expand(k)) in one jit vs conv(x, precomputed_w)).
+            w = jax.lax.optimization_barrier(w)
             y = jax.lax.conv_general_dilated(
                 x, w.astype(x.dtype),
                 window_strides=(self.strides,),
@@ -224,6 +231,8 @@ class PadConvRelu(nn.Module):
             kg = kernel.reshape(self.kernel_size, cin, self.groups, cout)
             dense = jnp.einsum('kcgd,gh->khcgd', kg, eye).reshape(
                 self.kernel_size, in_features, self.filters)
+            # same XLA bad-rewrite guard as the chunked path above
+            dense = jax.lax.optimization_barrier(dense)
             y = jax.lax.conv_general_dilated(
                 x, dense.astype(x.dtype),
                 window_strides=(self.strides,),

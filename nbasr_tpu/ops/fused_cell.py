@@ -610,7 +610,11 @@ def _backward(spec, x, weights, ln, seed, dy):
         scratch_shapes=[
             pltpu.VMEM((n_nodes + 1, T, C), x.dtype),   # outs
             pltpu.VMEM((n_nodes, T, C), x.dtype),       # bwd multipliers
-            pltpu.VMEM((n_nodes + 1, T, C), x.dtype),   # grads per output
+            # grads per output: f32 even when activations are bf16 — the
+            # reverse walk re-rounds g at every node boundary otherwise,
+            # and cancellation-heavy reductions (bias grads) measurably
+            # lose accuracy vs the unfused path (r3 hardware gate).
+            pltpu.VMEM((n_nodes + 1, T, C), jnp.float32),
             pltpu.VMEM((T + lpad + rpad, C), x.dtype),  # padded source
             pltpu.VMEM((T, C), jnp.float32),            # conv accumulator
             pltpu.VMEM((T + lpad + rpad, C), jnp.float32),  # dx accumulator

@@ -69,6 +69,39 @@ def main():
         "'auto' must resolve to fused_aligned on TPU"
     results['auto_resolves_fused'] = True
 
+    # 0. regression guard for the XLA block-diagonal-filter bad rewrite
+    # (found by this gate, round 3): at DEFAULT matmul precision, fusing
+    # the in-jit chunk expansion into the grouped conv mis-compiled —
+    # O(1) relative error, not rounding.  models/layers.py now puts an
+    # optimization_barrier between expansion and conv; this asserts the
+    # chunked path matches the 'native' lowering at default precision
+    # (the precision the production bf16 train step runs at).
+    from nbasr_tpu.models.layers import PadConvRelu
+    C, G, K = 600, 100, 5
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(2, T, C) * 0.5, jnp.float32)
+    pcr = PadConvRelu(C, kernel_size=K, groups=G, grouped_impl='chunked',
+                      init_scheme='scaled')
+    v = pcr.init(jax.random.PRNGKey(0), x)
+    ya = jax.jit(pcr.apply)(v, x)
+    # oracle: the same math with the block-diagonal expansion done OUTSIDE
+    # the jit (numpy), so no fusion with the conv is possible
+    kern = np.asarray(v['params']['conv_kernel_grouped'])
+    ci = C // G
+    S = PadConvRelu.chunk_count(G, ci, ci)
+    Gc = G // S
+    kg = kern.reshape(K, ci, S, Gc, ci)
+    w = np.einsum('kcsgo,gh->khcsgo', kg, np.eye(Gc, dtype=kern.dtype)
+                  ).reshape(K, Gc * ci, C)
+    conv = jax.jit(lambda x, w: jnp.clip(jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(0, 4)], feature_group_count=S,
+        dimension_numbers=('NWC', 'WIO', 'NWC')), 0.0, 20.0))
+    yb = conv(x, jnp.asarray(w))
+    err = float(jnp.max(jnp.abs(ya - yb)) / (jnp.max(jnp.abs(ya)) + 1e-9))
+    assert err < 0.03, \
+        f'chunked vs pre-expanded conv at default precision: {err}'
+    results['chunked_default_precision_relerr'] = err
+
     for name, arch, C in cases:
         x = jnp.asarray(np.random.RandomState(0).randn(B, T, C) * 0.5,
                         jnp.float32)
@@ -76,15 +109,20 @@ def main():
         fus = build(arch, C, 'fused_aligned')
         assert fus._resolve_impl() == 'fused_aligned'
         v = ref.init(jax.random.PRNGKey(0), x)
+        # random-projection loss sum(y*r): a generic cotangent direction.
+        # (sum(y**2) would make dy proportional to xhat, and LayerNorm's
+        # backward then cancels almost exactly — the true grads vanish and
+        # any comparison measures amplified rounding noise, not kernels.)
+        r = jnp.asarray(np.random.RandomState(5).randn(B, T, C), jnp.float32)
 
         # ---- 1. f32 highest-precision forward + gradient parity ----
         with jax.default_matmul_precision('highest'):
             ya = jax.jit(ref.apply)(v, x)
             yb = jax.jit(fus.apply)(v, x)
-            fa = jax.jit(jax.grad(lambda v, x: jnp.sum(ref.apply(v, x) ** 2),
-                                  argnums=(0, 1)))
-            fb = jax.jit(jax.grad(lambda v, x: jnp.sum(fus.apply(v, x) ** 2),
-                                  argnums=(0, 1)))
+            fa = jax.jit(jax.grad(
+                lambda v, x: jnp.vdot(ref.apply(v, x), r), argnums=(0, 1)))
+            fb = jax.jit(jax.grad(
+                lambda v, x: jnp.vdot(fus.apply(v, x), r), argnums=(0, 1)))
             ga, gb = fa(v, x), fb(v, x)
         fwd_err = float(jnp.max(jnp.abs(ya - yb))
                         / (jnp.max(jnp.abs(ya)) + 1e-9))
@@ -96,51 +134,72 @@ def main():
             scale = float(jnp.abs(la).max()) + 1e-6
             err = float(jnp.abs(la - lb).max()) / scale
             grad_errs[jax.tree_util.keystr(path)] = err
-            assert err < 1e-4, \
+            # 1e-3 (not 1e-5-ish): jnp.clip's VJP passes HALF the gradient
+            # exactly at a == 0, and zero-init biases make whole ReLU-dead
+            # receptive windows sit exactly there — any lowering change
+            # that perturbs a by 1 ulp flips 0.5·dy at those elements.
+            assert err < 1e-3, \
                 f'{name}: f32 grad {jax.tree_util.keystr(path)} rel err {err}'
         results[f'{name}_f32_fwd_relerr'] = fwd_err
         results[f'{name}_f32_grad_max_relerr'] = max(grad_errs.values())
 
         # ---- 2. bf16 (training dtype) parity ----
+        # Both bf16 paths are *approximations* of the f32 math; mutual
+        # agreement is the wrong bar for cancellation-heavy tensors (bias
+        # grads sum ~2400 signed bf16 terms, and clip-ReLU tie flips at
+        # a == 0 move 0.5·dy per flipped element).  The gate therefore
+        # judges each bf16 path against the f32-highest ground truth from
+        # section 1 and requires the fused path to be no farther from it
+        # than the chunked path (with slack), plus a small-forward bound.
+        ga_truth = ga[0]
         xb = x.astype(jnp.bfloat16)
         ya = jax.jit(ref.apply)(v, xb).astype(jnp.float32)
         yb = jax.jit(fus.apply)(v, xb).astype(jnp.float32)
         fwd_err16 = float(jnp.max(jnp.abs(ya - yb))
                           / (jnp.max(jnp.abs(ya)) + 1e-9))
-        # bf16 has ~2^-8 relative precision; chunked and fused reduce in a
-        # different order, so allow a few ulps through the LayerNorm chain
         assert fwd_err16 < 0.05, f'{name}: bf16 forward rel err {fwd_err16}'
-        ga = jax.jit(jax.grad(
-            lambda v, x: jnp.sum(ref.apply(v, x).astype(jnp.float32) ** 2),
-            argnums=(0,)))(v, xb)
-        gb = jax.jit(jax.grad(
-            lambda v, x: jnp.sum(fus.apply(v, x).astype(jnp.float32) ** 2),
-            argnums=(0,)))(v, xb)
+        gc16 = jax.jit(jax.grad(
+            lambda v, x: jnp.vdot(ref.apply(v, x).astype(jnp.float32), r),
+            argnums=(0,)))(v, xb)[0]
+        gf16 = jax.jit(jax.grad(
+            lambda v, x: jnp.vdot(fus.apply(v, x).astype(jnp.float32), r),
+            argnums=(0,)))(v, xb)[0]
         worst = 0.0
-        for (path, la), (_, lb) in zip(
-                jax.tree_util.tree_leaves_with_path(ga),
-                jax.tree_util.tree_leaves_with_path(gb)):
-            la = la.astype(jnp.float32)
-            lb = lb.astype(jnp.float32)
-            scale = float(jnp.abs(la).max()) + 1e-6
-            err = float(jnp.abs(la - lb).max()) / scale
-            worst = max(worst, err)
-            assert err < 0.08, \
-                f'{name}: bf16 grad {jax.tree_util.keystr(path)} rel err {err}'
+        for (path, lt), (_, lc), (_, lf) in zip(
+                jax.tree_util.tree_leaves_with_path(ga_truth),
+                jax.tree_util.tree_leaves_with_path(gc16),
+                jax.tree_util.tree_leaves_with_path(gf16)):
+            lt = lt.astype(jnp.float32)
+            scale = float(jnp.abs(lt).max()) + 1e-6
+            err_c = float(jnp.abs(lc.astype(jnp.float32) - lt).max()) / scale
+            err_f = float(jnp.abs(lf.astype(jnp.float32) - lt).max()) / scale
+            worst = max(worst, err_f)
+            assert err_f < max(2.5 * err_c, 0.08), \
+                (f'{name}: bf16 grad {jax.tree_util.keystr(path)}: fused '
+                 f'err {err_f} vs chunked err {err_c} (both vs f32 truth)')
         results[f'{name}_bf16_fwd_relerr'] = fwd_err16
-        results[f'{name}_bf16_grad_max_relerr'] = worst
+        results[f'{name}_bf16_grad_max_err_vs_f32'] = worst
 
     # ---- 3. hardware-PRNG dropout fwd/bwd mask consistency ----
+    # Smaller B/T than the parity cases: the check is a finite difference
+    # of a full-tensor reduction, and f32 evaluation noise of the sum
+    # (~sqrt(N)·ulp) must sit well below the directional-derivative signal
+    # (2·eps·|an|).  At B=2, T=128 the noise floor is ~1%.
     name, arch, C = cases[0]
     cell = build(arch, C, 'fused_aligned', dropout=0.2)
-    x = jnp.asarray(np.random.RandomState(1).randn(B, T, C) * 0.5,
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 128, C) * 0.5,
                     jnp.float32)
     v = cell.init(jax.random.PRNGKey(0), x)
     r = jax.random.PRNGKey(11)
 
+    # random-projection loss again: through the trailing LayerNorm,
+    # sum(y**2) is nearly invariant in x (= B*T*C + O(eps)), so its true
+    # directional derivative (~1e-2) sits below the f32 ulp of the loss
+    # value (~0.1 at 1.4e6) and the finite difference quantises to 0.
+    proj = jnp.asarray(np.random.RandomState(6).randn(*x.shape), jnp.float32)
     with jax.default_matmul_precision('highest'):
         def f(x):
-            return jnp.sum(cell.apply(v, x, True, rngs={'dropout': r}) ** 2)
+            return jnp.vdot(cell.apply(v, x, True, rngs={'dropout': r}), proj)
 
         f = jax.jit(f)
         # determinism: two forwards with the same rng bit-match (the
@@ -155,8 +214,9 @@ def main():
         eps = 1e-2
         fd = (f(x + eps * vdir) - f(x - eps * vdir)) / (2 * eps)
         an = jnp.sum(g * vdir)
-        rel = float(jnp.abs(fd - an) / (jnp.abs(fd) + 1e-9))
-    assert rel < 2e-2, f'dropout fwd/bwd mask inconsistency: fd rel err {rel}'
+        rel = float(jnp.abs(fd - an)
+                    / (jnp.maximum(jnp.abs(fd), jnp.abs(an)) + 1e-9))
+    assert rel < 4e-2, f'dropout fwd/bwd mask inconsistency: fd rel err {rel}'
     results['dropout_fd_relerr'] = rel
 
     results['ok'] = True

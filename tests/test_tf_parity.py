@@ -66,8 +66,13 @@ def _assign(var, value):
     var.assign(value)
 
 
-def _transplant(params, tf_model, arch_vec, cells_per_block=(3, 4, 5, 6)):
-    """Copy our param tree into the reference TF ASRModel's variables."""
+def _iter_pairs(tree, tf_model, arch_vec, cells_per_block=(3, 4, 5, 6)):
+    """Yield ``(tf_variable, our_leaf)`` over the shared model structure.
+
+    ``tree`` may be the param tree, a gradient tree (same structure), or an
+    updated param tree — this single traversal backs weight transplantation,
+    per-tensor gradient comparison and post-optimizer-step comparison.
+    """
     layers = tf_model._model.layers
     li = 0
     assert 'masking' in layers[li].name
@@ -76,16 +81,16 @@ def _transplant(params, tf_model, arch_vec, cells_per_block=(3, 4, 5, 6)):
     for b in range(4):
         pc = layers[li]; li += 1           # PadConvRelu
         conv = pc.layer.layers[1]
-        p = params[f'block{b}_conv']['conv']
-        _assign(conv.kernel, p['kernel'])
-        _assign(conv.bias, p['bias'])
+        p = tree[f'block{b}_conv']['conv']
+        yield conv.kernel, p['kernel']
+        yield conv.bias, p['bias']
         ln = layers[li]; li += 1           # LayerNormalization
-        p = params[f'block{b}_norm']
-        _assign(ln.gamma, p['scale'])
-        _assign(ln.beta, p['bias'])
+        p = tree[f'block{b}_norm']
+        yield ln.gamma, p['scale']
+        yield ln.beta, p['bias']
         for c in range(cells_per_block[b]):
             cell = layers[li]; li += 1     # SearchCell
-            cp = params[f'block{b}_cell{c}']
+            cp = tree[f'block{b}_cell{c}']
             for n, node_cfg in enumerate(arch_vec):
                 name = op_names[node_cfg[0]]
                 op = cell._nodes[n]._op
@@ -94,21 +99,47 @@ def _transplant(params, tf_model, arch_vec, cells_per_block=(3, 4, 5, 6)):
                 np_ = cp[f'node{n}_{name}']
                 if name == 'linear':
                     dense = op.layer.layers[0]
-                    _assign(dense.kernel, np_['dense']['kernel'])
-                    _assign(dense.bias, np_['dense']['bias'])
+                    yield dense.kernel, np_['dense']['kernel']
+                    yield dense.bias, np_['dense']['bias']
                 else:
                     conv = op.layer.layers[1]
                     if 'conv_kernel_grouped' in np_:
-                        _assign(conv.kernel, np_['conv_kernel_grouped'])
-                        _assign(conv.bias, np_['conv_bias'])
+                        yield conv.kernel, np_['conv_kernel_grouped']
+                        yield conv.bias, np_['conv_bias']
                     else:
-                        _assign(conv.kernel, np_['conv']['kernel'])
-                        _assign(conv.bias, np_['conv']['bias'])
-            _assign(cell.norm_layer.gamma, cp['norm']['scale'])
-            _assign(cell.norm_layer.beta, cp['norm']['bias'])
+                        yield conv.kernel, np_['conv']['kernel']
+                        yield conv.bias, np_['conv']['bias']
+            yield cell.norm_layer.gamma, cp['norm']['scale']
+            yield cell.norm_layer.beta, cp['norm']['bias']
     dense = layers[li]                     # head
-    _assign(dense.kernel, params['head']['kernel'])
-    _assign(dense.bias, params['head']['bias'])
+    yield dense.kernel, tree['head']['kernel']
+    yield dense.bias, tree['head']['bias']
+
+
+def _transplant(params, tf_model, arch_vec, cells_per_block=(3, 4, 5, 6)):
+    """Copy our param tree into the reference TF ASRModel's variables."""
+    for var, value in _iter_pairs(params, tf_model, arch_vec,
+                                  cells_per_block):
+        _assign(var, value)
+
+
+def _load_ref_tf_ctc():
+    """Import the reference TF CTC-loss module
+    (``training/tf/metrics/ctc.py``) from file paths."""
+    _load_ref_tf()   # installs the nasbench_asr/quiet_tensorflow stubs
+    if '_ref_tf_metrics.ctc' in sys.modules:
+        return sys.modules['_ref_tf_metrics.ctc']
+    pkg = types.ModuleType('_ref_tf_metrics')
+    pkg.__path__ = [str(REF / 'training' / 'tf' / 'metrics')]
+    sys.modules['_ref_tf_metrics'] = pkg
+    for name in ['roll', 'ctc']:
+        spec = importlib.util.spec_from_file_location(
+            f'_ref_tf_metrics.{name}',
+            REF / 'training' / 'tf' / 'metrics' / f'{name}.py')
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f'_ref_tf_metrics.{name}'] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules['_ref_tf_metrics.ctc']
 
 
 # conv5 chain; dilated + branch-heavy; zero op + linear
@@ -144,3 +175,177 @@ def test_tf_backend_logits_parity(arch):
     assert theirs.shape == ours.shape
     scale = np.abs(theirs).max() + 1e-6
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4 * scale)
+
+
+def _zero_dropout_rates(tf_model):
+    """Set every Keras Dropout layer's rate to 0 (recursive walk over the
+    reference model's nested Model/Sequential/attribute structure)."""
+    stack, seen = [tf_model], set()
+    while stack:
+        layer = stack.pop()
+        if id(layer) in seen:
+            continue
+        seen.add(id(layer))
+        if isinstance(layer, tf.keras.layers.Dropout):
+            layer.rate = 0.0
+        for attr in ('_model', 'layer'):
+            sub = getattr(layer, attr, None)
+            if sub is not None and hasattr(sub, 'built'):
+                stack.append(sub)
+        for attr in ('layers', '_nodes'):
+            subs = getattr(layer, attr, None)
+            if isinstance(subs, (list, tuple)):
+                stack.extend(subs)
+        op = getattr(layer, '_op', None)
+        if op is not None:
+            stack.append(op)
+
+
+def test_tf_backend_train_step_parity():
+    """Full train-step parity against the reference TF trainer's hot loop
+    (``training/tf/trainer.py:399-453``): with transplanted weights and the
+    quirk toggles, assert
+
+      1. the CTC loss value (reference ``metrics/ctc.py:12-37`` run
+         directly, normalised ÷(logits_size+1), batch mean),
+      2. the L2 regularisation term (``model.losses`` vs our ``conv_l2``),
+      3. every per-tensor gradient of the total loss,
+      4. the parameters after ``clip_by_global_norm(5.0)`` + one Adam step.
+
+    Dropout note: the reference bakes a constant 0.2 dropout into every
+    cell op (``model/tf/ops.py:60``, active whenever ``training=True``
+    regardless of the model-level flag); dropout masks cannot be
+    bit-matched across frameworks, so this test zeroes those rates
+    post-build on the TF side (and uses ``cell_dropout=0.0`` on ours) —
+    the standard methodology for cross-framework gradient parity.
+
+    Adam-formula note: Keras folds the bias corrections into the step size
+    and adds epsilon to the *uncorrected* ``sqrt(v)``
+    (``update = lr·sqrt(1-β₂ᵗ)/(1-β₁ᵗ) · m/(sqrt(v)+ε)``), which equals
+    optax's ``m̂/(sqrt(v̂)+ε̂)`` with ``ε̂ = ε/sqrt(1-β₂ᵗ)``; at t=1 with
+    ε=1e-7 that's ε̂=3.1623e-6.  The step below uses that ε̂ so the
+    comparison isolates real semantic differences from the documented
+    epsilon-placement difference (negligible over a 40-epoch run; the
+    production trainer keeps optax semantics with eps=1e-7).
+    """
+    import optax
+    from nbasr_tpu.models.asr import logits_length
+    from nbasr_tpu.training.loss import get_loss as our_get_loss, conv_l2
+
+    ref_model_mod = _load_ref_tf()
+    ref_ctc = _load_ref_tf_ctc()
+
+    arch = ARCHS[0]
+    B, T, U = 2, 50, 8
+    lr = 1e-4
+    rng = np.random.RandomState(3)
+    x = rng.randn(B, T, 80).astype(np.float32) * 0.5
+    fsize = np.array([T, T], np.int32)
+    labels = rng.randint(1, 49, size=(B, U)).astype(np.int32)
+    lsizes = np.array([U, 5], np.int32)
+
+    model = get_model(arch, use_rnn=False, dropout_rate=0.0, use_norm=True,
+                      data_norm=None, cell_dropout=0.0,
+                      branch_semantics='tf_inverted', apply_dilation=False,
+                      pad_math='tf', grouped_impl='masked_dense',
+                      init_scheme='scaled')
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(fsize))
+    params = variables['params']
+    our_loss = our_get_loss()
+
+    # ---- our side: loss + grads + clip + Adam (mirrors trainer.py) ----
+    def inner(p):
+        logits = model.apply({'params': p}, jnp.asarray(x),
+                             jnp.asarray(fsize), train=True,
+                             rngs={'dropout': jax.random.PRNGKey(9)})
+        lsize = logits_length(jnp.asarray(fsize), T, logits.shape[1])
+        ctc = our_loss(logits, lsize, jnp.asarray(labels),
+                       jnp.asarray(lsizes))
+        return ctc + conv_l2(p), ctc
+
+    (total, ctc), grads = jax.value_and_grad(inner, has_aux=True)(params)
+    eps_hat = 1e-7 / np.sqrt(1.0 - 0.999)          # Keras ε̂ at t=1
+    opt = optax.chain(optax.clip_by_global_norm(5.0),
+                      optax.scale_by_adam(eps=eps_hat),
+                      optax.scale(-lr))
+    updates, _ = opt.update(grads, opt.init(params), params)
+    new_params = optax.apply_updates(params, updates)
+
+    # ---- TF side: the reference train_step (trainer.py:399-453) ----
+    tf_model = ref_model_mod.ASRModel(arch, num_classes=48, use_rnn=False,
+                                      dropout_rate=0.0)
+    tf_model(tf.constant(x), training=False)        # build weights
+    _transplant(params, tf_model, arch)
+    _zero_dropout_rates(tf_model)                   # see docstring
+    old_vars = {id(v): v.numpy() for v in tf_model.trainable_variables}
+    with tf.GradientTape() as tape:
+        logits = tf_model(tf.constant(x), training=True)
+        # get_logits_size (trainer.py:19-27): measured time-reduction ratio
+        ratio = (tf.cast(tf.shape(tf.constant(x))[1], tf.float32)
+                 / tf.cast(tf.shape(logits)[1], tf.float32))
+        logits_size = tf.cast(
+            tf.cast(tf.constant(fsize), tf.float32) / ratio, tf.int32)
+        per_sample = ref_ctc.get_normalized_ctc_loss_without_reduce(
+            logits_transposed=tf.transpose(logits, [1, 0, 2]),
+            logits_size=logits_size,
+            encodeds=tf.constant(labels),
+            encodeds_size=tf.constant(lsizes))
+        tf_ctc = tf.reduce_mean(per_sample)
+        tf_total = tf.math.add_n([tf_ctc] + tf_model.losses)
+    tvars = tf_model.trainable_variables
+    tf_grads = tape.gradient(tf_total, tvars)
+
+    # 1+2. loss values: CTC, L2 term, total
+    np.testing.assert_allclose(float(ctc), float(tf_ctc), rtol=5e-5)
+    np.testing.assert_allclose(float(conv_l2(params)),
+                               float(tf.math.add_n(tf_model.losses)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(total), float(tf_total), rtol=5e-5)
+
+    # 3. per-tensor gradients (pre-clip)
+    gmap = {id(v): g for v, g in zip(tvars, tf_grads)}
+    checked = 0
+    for var, ours in _iter_pairs(grads, tf_model, arch):
+        theirs = np.asarray(gmap[id(var)])
+        ours = np.asarray(ours, np.float32)
+        scale = np.abs(theirs).max() + 1e-8
+        np.testing.assert_allclose(ours, theirs, rtol=0, atol=3e-3 * scale,
+                                   err_msg=f'grad {var.name}')
+        cos = float((ours * theirs).sum()
+                    / (np.linalg.norm(ours) * np.linalg.norm(theirs) + 1e-30))
+        assert cos > 0.9999, f'grad {var.name}: cosine {cos}'
+        checked += 1
+    assert checked == len(tvars)
+
+    # 4. one optimizer step: clip(5.0) + Adam(lr=1e-4, eps=1e-7)
+    clipped, _ = tf.clip_by_global_norm(tf_grads, 5.0)
+    tf.keras.optimizers.Adam(learning_rate=lr, epsilon=1e-7).apply_gradients(
+        zip(clipped, tvars))
+    # 4a. formula parity, gradient-noise-free: run OUR optax chain on TF's
+    # own gradients — must match TF's applied update tightly.
+    by_id = {}
+    for var, leaf in _iter_pairs(grads, tf_model, arch):
+        by_id[id(leaf)] = jnp.asarray(np.asarray(gmap[id(var)]))
+    tf_grads_tree = jax.tree_util.tree_map(lambda l: by_id[id(l)], grads)
+    upd_tf_side, _ = opt.update(tf_grads_tree, opt.init(params), params)
+    new_from_tf_grads = optax.apply_updates(params, upd_tf_side)
+    for var, ours_new in _iter_pairs(new_from_tf_grads, tf_model, arch):
+        d_tf = var.numpy() - old_vars[id(var)]
+        d_ours = np.asarray(ours_new, np.float32) - old_vars[id(var)]
+        # updates are read back as f32 var diffs: allow ~2 ulp at the
+        # update scale on top of the 0.3% formula tolerance
+        tol = 3e-3 * np.abs(d_tf).max() + 3e-7 * np.abs(d_tf).max() + 1e-10
+        np.testing.assert_allclose(d_ours, d_tf, rtol=0, atol=tol,
+                                   err_msg=f'formula update {var.name}')
+    # 4b. end-to-end with OUR gradients: near-zero-gradient entries are
+    # ε̂-amplified (∂update/∂g ≈ lr/ε̂ ≈ 32 at g→0), so f32
+    # cross-framework gradient noise of ~2e-6 legitimately moves single
+    # updates by ~6e-5; bound by that plus 2% of the update scale.
+    eps_amp = lr / eps_hat * 2e-6
+    for var, ours_new in _iter_pairs(new_params, tf_model, arch):
+        d_tf = var.numpy() - old_vars[id(var)]
+        d_ours = np.asarray(ours_new, np.float32) - old_vars[id(var)]
+        tol = 0.02 * np.abs(d_tf).max() + eps_amp
+        np.testing.assert_allclose(d_ours, d_tf, rtol=0, atol=tol,
+                                   err_msg=f'update {var.name}')
