@@ -190,6 +190,14 @@ class SearchCell(nn.Module):
             raise ValueError(f'unknown branch_semantics: '
                              f'{self.branch_semantics!r}')
         impl = self._resolve_impl()
+        if (self.grouped_impl == 'auto' and impl == 'fused_aligned'
+                and x.dtype != jnp.bfloat16):
+            # The fused kernel targets the bf16 training path (bf16 MXU
+            # passes).  At f32 — the inference/parity dtype — its matmuls
+            # run multi-pass and the pure-XLA chunked lowering is faster
+            # (bench r3: fp32 B=1 inference 0.17 ms chunked vs 0.39 ms
+            # fused).  Explicit grouped_impl='fused_aligned' is respected.
+            impl = 'chunked'
         if impl in ('fused', 'fused_aligned'):
             return self._fused(x, train, aligned=impl == 'fused_aligned')
         # In 'pallas_split' mode the cell's input/output (and every

@@ -41,10 +41,12 @@ def main():
     parser.add_argument('--seed', type=int, default=1235)
     parser.add_argument('--platform', type=str, default=None,
                         help="force a jax platform (e.g. 'cpu'); default: auto")
-    parser.add_argument('--dtype', type=str, default='float32',
+    parser.add_argument('--dtype', type=str, default=None,
                         choices=['float32', 'bfloat16'],
-                        help='encoder compute dtype (bfloat16 is ~10-50x '
-                             'faster on TPU; float32 matches the reference)')
+                        help='encoder compute dtype; default: bfloat16 on '
+                             'TPU (the fast native path, exactness-gated by '
+                             'scripts/fused_parity_gate.py), float32 '
+                             'elsewhere (reference-parity numerics)')
     parser.add_argument('--grouped_impl', type=str, default='auto',
                         choices=['auto', 'native', 'masked_dense', 'pallas',
                                  'pallas_split', 'chunked', 'fused',
@@ -64,6 +66,14 @@ def main():
     if args.platform:
         import jax
         jax.config.update('jax_platforms', args.platform)
+
+    if args.dtype is None:
+        import jax
+        try:
+            on_tpu = jax.devices()[0].platform == 'tpu'
+        except Exception:
+            on_tpu = False
+        args.dtype = 'bfloat16' if on_tpu else 'float32'
 
     precision = args.matmul_precision or (
         'highest' if args.dtype == 'float32' else 'default')
