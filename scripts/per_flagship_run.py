@@ -19,22 +19,32 @@ from tests.test_per_recipe import make_tone_split, tone_loaders
 from nbasr_tpu.data.phonemes import PhonemeEncoder
 from nbasr_tpu.data.pipeline import Loader
 
+EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+LR = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
+N_TRAIN = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+DROPOUT = float(sys.argv[4]) if len(sys.argv) > 4 else 0.2
+RNN = (sys.argv[5] != '0') if len(sys.argv) > 5 else True
+DTYPE = (jnp.float32 if len(sys.argv) > 6 and sys.argv[6] == 'f32'
+         else jnp.bfloat16)
+
 enc = PhonemeEncoder(48)
-train = make_tone_split(128, 0, name='TRAIN')
-val = make_tone_split(16, 1, name='VAL')
+train = make_tone_split(N_TRAIN, 0, name='TRAIN')
+val = make_tone_split(32, 1, name='VAL')
 loaders = (enc, Loader(train, 16, shuffle=True, seed=0), Loader(val, 16),
            Loader(val, 16))
 
 trainer = get_trainer(loaders, get_loss(), verbose=True,
                       eval_decoder='beam', beam_width=12,
                       decay_start_epoch=100)
-model = get_model([[1, 0], [1, 0, 0], [1, 0, 0, 0]], use_rnn=True,
-                  dropout_rate=0.2, data_norm=None,
-                  compute_dtype=jnp.bfloat16, init_scheme='scaled')
+model = get_model([[1, 0], [1, 0, 0], [1, 0, 0, 0]], use_rnn=RNN,
+                  dropout_rate=DROPOUT, cell_dropout=DROPOUT,
+                  data_norm=None, compute_dtype=DTYPE,
+                  init_scheme='scaled')
+print(f'epochs={EPOCHS} lr={LR} n={N_TRAIN} dropout={DROPOUT} rnn={RNN} '
+      f'dtype={DTYPE.__name__}')
 
 t0 = time.time()
-history, test_scores = trainer.train(model, epochs=int(sys.argv[1]) if
-                                     len(sys.argv) > 1 else 10, lr=3e-4)
+history, test_scores = trainer.train(model, epochs=EPOCHS, lr=LR)
 print('val_ler curve:', [round(v, 3) for v in history['val_ler']])
 print('test:', test_scores)
 print('total', round(time.time() - t0, 1), 's')
