@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from . import layers as _layers
 from .layers import PadConvRelu, LinearRelu, SplitLayerNorm, norm_eps, \
     conv_padding
 
@@ -35,17 +36,10 @@ CELL_DROPOUT = 0.2
 #: Set to ``'chunked'``/``'fused_aligned'`` to force.
 AUTO_CELL_IMPL = None
 
-_PLATFORM_TPU = None
-
-
 def _platform_is_tpu():
-    global _PLATFORM_TPU
-    if _PLATFORM_TPU is None:
-        try:
-            _PLATFORM_TPU = jax.devices()[0].platform == 'tpu'
-        except Exception:
-            _PLATFORM_TPU = False
-    return _PLATFORM_TPU
+    # Single probe shared with layers._guard_expanded_weights (tests
+    # monkeypatch layers._PLATFORM_TPU to cover both).
+    return _layers._platform_is_tpu()
 
 
 def auto_cell_impl():
@@ -190,13 +184,16 @@ class SearchCell(nn.Module):
             raise ValueError(f'unknown branch_semantics: '
                              f'{self.branch_semantics!r}')
         impl = self._resolve_impl()
-        if (self.grouped_impl == 'auto' and impl == 'fused_aligned'
-                and x.dtype != jnp.bfloat16):
+        if (self.grouped_impl == 'auto' and AUTO_CELL_IMPL is None
+                and impl == 'fused_aligned' and x.dtype != jnp.bfloat16):
             # The fused kernel targets the bf16 training path (bf16 MXU
             # passes).  At f32 — the inference/parity dtype — its matmuls
             # run multi-pass and the pure-XLA chunked lowering is faster
             # (bench r3: fp32 B=1 inference 0.17 ms chunked vs 0.39 ms
-            # fused).  Explicit grouped_impl='fused_aligned' is respected.
+            # fused).  Forcing fused is respected both per-module
+            # (grouped_impl='fused_aligned') and via the global
+            # AUTO_CELL_IMPL knob (ADVICE r3: the global force must not be
+            # silently ignored for non-bf16 inputs).
             impl = 'chunked'
         if impl in ('fused', 'fused_aligned'):
             return self._fused(x, train, aligned=impl == 'fused_aligned')

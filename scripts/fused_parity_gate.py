@@ -83,6 +83,12 @@ def main():
     pcr = PadConvRelu(C, kernel_size=K, groups=G, grouped_impl='chunked',
                       init_scheme='scaled')
     v = pcr.init(jax.random.PRNGKey(0), x)
+    # non-zero bias (ADVICE r3 low): the oracle must compute conv + bias
+    # then clip — with the default zero init a missing bias term would be
+    # invisible (and ReLU-dead windows sit exactly at the clip tie).
+    v = jax.tree_util.tree_map(lambda a: a, v)  # unfreeze-safe shallow copy
+    v['params']['conv_bias'] = jnp.asarray(
+        rs.randn(C) * 0.1, jnp.float32)
     ya = jax.jit(pcr.apply)(v, x)
     # oracle: the same math with the block-diagonal expansion done OUTSIDE
     # the jit (numpy), so no fusion with the conv is possible
@@ -93,14 +99,49 @@ def main():
     kg = kern.reshape(K, ci, S, Gc, ci)
     w = np.einsum('kcsgo,gh->khcsgo', kg, np.eye(Gc, dtype=kern.dtype)
                   ).reshape(K, Gc * ci, C)
-    conv = jax.jit(lambda x, w: jnp.clip(jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding=[(0, 4)], feature_group_count=S,
-        dimension_numbers=('NWC', 'WIO', 'NWC')), 0.0, 20.0))
-    yb = conv(x, jnp.asarray(w))
+
+    def oracle(x, w, b):
+        return jnp.clip(jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding=[(0, 4)],
+            feature_group_count=S,
+            dimension_numbers=('NWC', 'WIO', 'NWC')) + b, 0.0, 20.0)
+
+    wj = jnp.asarray(w)
+    bj = v['params']['conv_bias']
+    yb = jax.jit(oracle)(x, wj, bj)
     err = float(jnp.max(jnp.abs(ya - yb)) / (jnp.max(jnp.abs(ya)) + 1e-9))
     assert err < 0.03, \
         f'chunked vs pre-expanded conv at default precision: {err}'
     results['chunked_default_precision_relerr'] = err
+
+    # 0b. BACKWARD miscompile guard for the chunked path (ADVICE r3
+    # medium): the r3 forward check would not catch a backward-only bad
+    # rewrite, yet chunked is both the silent fused-ineligible fallback
+    # and the explicit bf16 --grouped_impl=chunked path.  Compare every
+    # gradient (x, compact kernel, bias) of the chunked apply at DEFAULT
+    # precision against the pre-expanded-weights oracle; the oracle's
+    # expanded-kernel grad maps back to the compact layout by extracting
+    # the block-diagonal (dL/dkern[k,c,s,g,o] = dL/dw[k, g*ci+c, (s,g,o)]).
+    r0 = jnp.asarray(rs.randn(*ya.shape), jnp.float32)
+    gx_c, gv_c = jax.jit(jax.grad(
+        lambda x, v: jnp.vdot(pcr.apply(v, x), r0), argnums=(0, 1)))(x, v)
+    gx_o, gw_o, gb_o = jax.jit(jax.grad(
+        lambda x, w, b: jnp.vdot(oracle(x, w, b), r0),
+        argnums=(0, 1, 2)))(x, wj, bj)
+    gw_o = np.asarray(gw_o).reshape(K, Gc, ci, S, Gc, ci)
+    gk_o = np.einsum('khcsgo,gh->kcsgo', gw_o, np.eye(Gc)
+                     ).reshape(K, ci, C)
+    pairs = {
+        'x': (gx_c, gx_o),
+        'kernel': (gv_c['params']['conv_kernel_grouped'], jnp.asarray(gk_o)),
+        'bias': (gv_c['params']['conv_bias'], gb_o),
+    }
+    for pname, (gc_, go_) in pairs.items():
+        scale = float(jnp.abs(go_).max()) + 1e-6
+        gerr = float(jnp.abs(gc_ - go_).max()) / scale
+        results[f'chunked_default_precision_grad_{pname}_relerr'] = gerr
+        assert gerr < 0.05, \
+            f'chunked BACKWARD vs oracle at default precision ({pname}): {gerr}'
 
     for name, arch, C in cases:
         x = jnp.asarray(np.random.RandomState(0).randn(B, T, C) * 0.5,
@@ -164,7 +205,7 @@ def main():
         gf16 = jax.jit(jax.grad(
             lambda v, x: jnp.vdot(fus.apply(v, x).astype(jnp.float32), r),
             argnums=(0,)))(v, xb)[0]
-        worst = 0.0
+        worst = worst_c = 0.0
         for (path, lt), (_, lc), (_, lf) in zip(
                 jax.tree_util.tree_leaves_with_path(ga_truth),
                 jax.tree_util.tree_leaves_with_path(gc16),
@@ -174,11 +215,24 @@ def main():
             err_c = float(jnp.abs(lc.astype(jnp.float32) - lt).max()) / scale
             err_f = float(jnp.abs(lf.astype(jnp.float32) - lt).max()) / scale
             worst = max(worst, err_f)
+            worst_c = max(worst_c, err_c)
+            # ADVICE r3 medium: bound the CHUNKED path against the f32
+            # truth in absolute terms too — otherwise a chunked-backward
+            # miscompile would inflate err_c and the relative fused bound
+            # below would still pass.  0.15 (not 0.08): bias grads sum
+            # ~2400 signed bf16 terms and legitimately reach ~0.09 on
+            # hardware; the bound only needs to catch O(1) bad rewrites
+            # (the f32 default-precision backward check in §0b catches
+            # the miscompile class exactly).
+            assert err_c < 0.15, \
+                (f'{name}: bf16 CHUNKED grad {jax.tree_util.keystr(path)} '
+                 f'err {err_c} vs f32 truth')
             assert err_f < max(2.5 * err_c, 0.08), \
                 (f'{name}: bf16 grad {jax.tree_util.keystr(path)}: fused '
                  f'err {err_f} vs chunked err {err_c} (both vs f32 truth)')
         results[f'{name}_bf16_fwd_relerr'] = fwd_err16
         results[f'{name}_bf16_grad_max_err_vs_f32'] = worst
+        results[f'{name}_bf16_chunked_grad_max_err_vs_f32'] = worst_c
 
     # ---- 3. hardware-PRNG dropout fwd/bwd mask consistency ----
     # Smaller B/T than the parity cases: the check is a finite difference

@@ -1,7 +1,13 @@
 """Flagship-model PER proof on the real chip: train the full 26M-param
 README arch on the tone-coded corpus until val PER collapses.
 
-Logs per-epoch val PER; results recorded in PERF.md."""
+Logs per-epoch val PER; results recorded in PERF.md.
+
+NOTE on defaults (ADVICE r3): round 3 changed the argv defaults to
+lr=1e-3 and a 32-utterance val split; the round-2 runs documented in
+PERF.md used lr=3e-4 and val=16.  To reproduce those, pass the lr
+explicitly: ``python scripts/per_flagship_run.py N 3e-4``.  New runs
+should always record their full command line next to the curve."""
 
 import sys
 import time
