@@ -439,8 +439,20 @@ class Trainer:
                 try:
                     self._eval_compiled[sig] = self._eval_step.lower(
                         params, placed, acc).compile()
-                except Exception:   # pragma: no cover - diagnostics only
+                except Exception as e:
+                    # VERDICT r3 #7: a failed prewarm must not be silent —
+                    # record it and fall back to plain jit in evaluate()
+                    # (which will then surface any real error in the
+                    # foreground instead of masking it).
+                    self.prewarm_error = e
+                    import warnings
+                    warnings.warn(f'prewarm_eval: AOT compile failed, '
+                                  f'falling back to jit: {e!r}')
+                    if self.verbose:
+                        print(f'prewarm_eval failed ({e!r}); eval will '
+                              f'compile in the foreground')
                     return
+        self.prewarm_error = None
         self._prewarm_thread = threading.Thread(target=compile_all,
                                                 daemon=True)
         self._prewarm_thread.start()

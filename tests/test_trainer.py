@@ -214,3 +214,37 @@ def test_prewarm_eval_compiles_and_matches(tiny_loaders):
     assert len(trainer2._eval_compiled) >= 1         # used AOT executables
     for k in baseline:
         np.testing.assert_allclose(m[k], baseline[k], rtol=1e-6)
+
+
+def test_prewarm_failure_is_surfaced_and_falls_back(tiny_loaders,
+                                                    monkeypatch, recwarn):
+    """A poisoned eval step must not be swallowed by the prewarm thread
+    (VERDICT r3 #7): the failure is recorded + warned, and evaluate()
+    still works by falling back to the plain jit path."""
+    trainer = _tiny_trainer(loaders=tiny_loaders)
+    model = tiny_model()
+    trainer.init_state(model, seed=0)
+    baseline = trainer.evaluate(tiny_loaders[2])
+
+    trainer2 = _tiny_trainer(loaders=tiny_loaders)
+    trainer2.init_state(model, seed=0)
+
+    class _Poisoned:
+        def lower(self, *a, **k):
+            raise RuntimeError('poisoned eval step')
+
+        def __call__(self, *a, **k):
+            return trainer2.__class__._run_eval_step  # never reached
+
+    real_step = trainer2._eval_step
+    monkeypatch.setattr(trainer2, '_eval_step', _Poisoned())
+    trainer2.prewarm_eval(tiny_loaders[2])
+    trainer2._prewarm_thread.join()
+    assert trainer2.prewarm_error is not None
+    assert any('prewarm_eval' in str(w.message) for w in recwarn.list)
+    assert not trainer2._eval_compiled                # nothing cached
+    # evaluate still runs via the (restored) jit path
+    monkeypatch.setattr(trainer2, '_eval_step', real_step)
+    m = trainer2.evaluate(tiny_loaders[2])
+    for k in baseline:
+        np.testing.assert_allclose(m[k], baseline[k], rtol=1e-6)
