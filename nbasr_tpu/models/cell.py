@@ -172,9 +172,7 @@ class SearchCell(nn.Module):
             C = self.filters
             if self.groups < 1 or C % self.groups:
                 return 'chunked'
-            ci = C // self.groups
-            S = PadConvRelu.chunk_count(self.groups, ci, ci)
-            if C // S > 128:            # chunk wider than one lane tile
+            if C // self.groups > 128:  # one group wider than a lane tile
                 return 'chunked'
         return impl
 
@@ -241,26 +239,38 @@ class SearchCell(nn.Module):
         trailing LayerNorm in a single VMEM residency.  Parameter tree is
         identical to the unfused paths (checkpoints interchangeable).
 
-        ``aligned``: run the kernel in the lane-aligned layout — every
-        chunk of ``Gc`` groups zero-padded to 128 lanes so all per-chunk
-        slices are Mosaic-relayout-free (pads stay exact zeros through
-        conv/ReLU/dropout/adds; LayerNorm statistics divide by the live
-        channel count)."""
+        ``aligned``: run the kernel in the lane-aligned layout — ``cap``
+        whole groups per 128-lane chunk (ceil-chunking: chunks need not
+        divide the group count, so e.g. ci=8 packs 16 groups = 128 live
+        lanes per chunk instead of the divisor scheme's 10 = 80), pads
+        zero-filled so all per-chunk slices are Mosaic-relayout-free
+        (pads stay exact zeros through conv/ReLU/dropout/adds; LayerNorm
+        statistics divide by the live channel count)."""
         from ..ops.fused_cell import (FusedCellSpec, ConvNode, LinearNode,
                                       ZeroNode, fused_cell_apply,
-                                      expand_chunked, expand_chunked_aligned,
-                                      pad_lanes, unpad_lanes)
+                                      expand_chunked, expand_grouped_aligned,
+                                      pad_groups, unpad_groups,
+                                      aligned_chunk_cap)
         LANE = 128
         C = self.filters
-        ci = C // self.groups
-        S = PadConvRelu.chunk_count(self.groups, ci, ci)
+        G = self.groups
+        ci = C // G
         has_conv = any(n[0] not in ('zero', 'linear') for n in self.arch_desc)
-        if aligned and (not has_conv or (C // S) % LANE == 0):
-            aligned = False     # already aligned (or nothing to align)
-        # (_resolve_impl guarantees C // S <= LANE for the aligned path)
+        if aligned:
+            cap = aligned_chunk_cap(G, ci, ci, LANE)
+            S = -(-G // cap)
+            if not has_conv or (cap * ci == LANE and S * cap == G):
+                aligned = False     # already aligned (or nothing to align)
+        if not aligned:
+            # compact layout: divisor-based chunking (S must divide G)
+            S = PadConvRelu.chunk_count(G, ci, ci)
         live = 0 if self.branch_semantics == 'tf_inverted' else 1
         convs = {'conv5': (5, 1), 'conv5d2': (5, 2),
                  'conv7': (7, 1), 'conv7d2': (7, 2)}
+
+        def padded(a):
+            return pad_groups(a, G, ci, cap, S, LANE)
+
         nodes, weights = [], []
         for nidx, node in enumerate(self.arch_desc):
             op_name, *bits = node
@@ -272,8 +282,8 @@ class SearchCell(nn.Module):
             if op_name == 'linear':
                 k, b = _DenseParams(C, self.init_scheme, name=name)(C)
                 if aligned:
-                    k = pad_lanes(pad_lanes(k, S).T, S).T
-                    b = pad_lanes(b, S)
+                    k = padded(padded(k).T).T
+                    b = padded(b)
                 nodes.append(LinearNode(branches))
                 weights += [k.astype(x.dtype), b]
                 continue
@@ -282,24 +292,27 @@ class SearchCell(nn.Module):
                 d = 1
             lpad, rpad = conv_padding(K, d, 1, pad_math=self.pad_math)
             kern, bias = _ConvParams(K, ci, C, self.init_scheme, name=name)()
-            nodes.append(ConvNode(K, d, lpad, rpad, self.groups, S, ci, ci,
+            nodes.append(ConvNode(K, d, lpad, rpad,
+                                  (S * cap) if aligned else G, S, ci, ci,
                                   branches, lane=LANE if aligned else None))
             if aligned:
-                kern = expand_chunked_aligned(kern, self.groups, S, LANE)
-                bias = pad_lanes(bias, S)
+                kern = expand_grouped_aligned(kern, G, cap, S, LANE)
+                bias = padded(bias)
             else:
-                kern = expand_chunked(kern, self.groups, S)
+                kern = expand_chunked(kern, G, S)
             weights += [kern.astype(x.dtype), bias]
         if self.use_norm:
             scale, bias = _NormParams(name='norm')(C)
         else:
             scale = bias = jnp.zeros((C,), jnp.float32)
         if aligned:
-            scale, bias = pad_lanes(scale, S), pad_lanes(bias, S)
+            scale, bias = padded(scale), padded(bias)
+            chunk_live = tuple(min(cap, G - s * cap) * ci for s in range(S))
         spec = FusedCellSpec(nodes, dropout_rate=self.dropout_rate,
                              train=train, ln_eps=self.norm_epsilon,
                              use_norm=self.use_norm,
-                             c_real=C if aligned else None)
+                             c_real=C if aligned else None,
+                             chunk_live=chunk_live if aligned else None)
         if spec.dropping:
             rng = self.make_rng('dropout')
             seed = jax.random.randint(rng, (2,), 0,
@@ -308,7 +321,7 @@ class SearchCell(nn.Module):
         else:
             seed = jnp.zeros((2,), jnp.int32)
         if aligned:
-            y = fused_cell_apply(spec, pad_lanes(x, S), weights,
+            y = fused_cell_apply(spec, padded(x), weights,
                                  (scale, bias), seed)
-            return unpad_lanes(y, S, C)
+            return unpad_groups(y, G, ci, cap, S, LANE)
         return fused_cell_apply(spec, x, weights, (scale, bias), seed)

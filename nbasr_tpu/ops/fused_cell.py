@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['FusedCellSpec', 'ConvNode', 'LinearNode', 'ZeroNode',
            'fused_cell_apply', 'expand_chunked', 'expand_chunked_aligned',
-           'pad_lanes', 'unpad_lanes']
+           'pad_lanes', 'unpad_lanes', 'aligned_chunk_cap', 'pad_groups',
+           'unpad_groups', 'expand_grouped_aligned']
 
 #: Tests set this to run the kernels in interpret mode on CPU.
 INTERPRET = False
@@ -81,6 +82,74 @@ def unpad_lanes(x, chunks, c_real, lane=128):
         return x
     lead = x.shape[:-1]
     return x.reshape(*lead, S, lane)[..., :w].reshape(*lead, c_real)
+
+
+def aligned_chunk_cap(groups, ci, co, lane=128):
+    """Groups per 128-lane chunk for the aligned layout: as many whole
+    groups as fit one lane tile (``floor(lane / max(ci, co))``), capped at
+    ``groups``.  Unlike :meth:`PadConvRelu.chunk_count` this does NOT
+    require the chunk count to divide ``groups`` — the last chunk simply
+    carries fewer live groups (its dead lanes are exact zeros), which is
+    what kills the 62.5%-lane waste of the divisor scheme at ci=8
+    (PERF.md r4: block1 S=10 -> 7, every chunk a full 128-lane tile)."""
+    w = max(ci, co)
+    if w > lane:
+        return 0            # ineligible (caller falls back to 'chunked')
+    return min(groups, lane // w)
+
+
+def pad_groups(x, groups, cw, cap, chunks, lane=128):
+    """Group-aware aligned padding: ``[..., G*cw] -> [..., S*lane]``.
+
+    The G groups (``cw`` channels each) are laid out ``cap`` per chunk;
+    each chunk's live lanes are left-aligned and zero-padded to ``lane``.
+    The last chunk may hold fewer than ``cap`` live groups.  Identity when
+    the layout is already dense (``S*cap == G`` and ``cap*cw == lane``)."""
+    S = chunks
+    if S * cap == groups and cap * cw == lane:
+        return x
+    lead = x.shape[:-1]
+    xg = x.reshape(*lead, groups, cw)
+    pads = [(0, 0)] * len(lead) + [(0, S * cap - groups), (0, 0)]
+    xg = jnp.pad(xg, pads).reshape(*lead, S, cap * cw)
+    if cap * cw != lane:
+        pads = [(0, 0)] * len(lead) + [(0, 0), (0, lane - cap * cw)]
+        xg = jnp.pad(xg, pads)
+    return xg.reshape(*lead, S * lane)
+
+
+def unpad_groups(x, groups, cw, cap, chunks, lane=128):
+    """Inverse of :func:`pad_groups`: ``[..., S*lane] -> [..., G*cw]``."""
+    S = chunks
+    if S * cap == groups and cap * cw == lane:
+        return x
+    lead = x.shape[:-1]
+    xg = x.reshape(*lead, S, lane)[..., :cap * cw]
+    return xg.reshape(*lead, S * cap, cw)[..., :groups, :].reshape(
+        *lead, groups * cw)
+
+
+def expand_grouped_aligned(kernel, groups, cap, chunks, lane=128):
+    """Compact grouped ``[K, ci, C_out]`` -> lane-aligned block-diag
+    ``[K, lane, S*lane]`` under the ``cap``-groups-per-chunk layout of
+    :func:`pad_groups` (the ceil-chunking generalisation of
+    :func:`expand_chunked_aligned`; chunks need not divide ``groups``)."""
+    K, ci, filters = kernel.shape
+    S = chunks
+    co = filters // groups
+    if cap * ci > lane or cap * co > lane:
+        raise ValueError(f'chunk width {cap * max(ci, co)} exceeds '
+                         f'lane {lane}')
+    # pad the group axis to S*cap, then block-diagonalise per chunk
+    kg = kernel.reshape(K, ci, groups, co)
+    kg = jnp.pad(kg, ((0, 0), (0, 0), (0, S * cap - groups), (0, 0)))
+    kg = kg.reshape(K, ci, S, cap, co)
+    eye = jnp.eye(cap, dtype=kernel.dtype)
+    w = jnp.einsum('kcsgo,gh->khcsgo', kg, eye)      # [K, cap, ci, S, cap, co]
+    w = w.reshape(K, cap * ci, S, cap * co)
+    w = jnp.pad(w, ((0, 0), (0, lane - cap * ci), (0, 0),
+                    (0, lane - cap * co)))
+    return w.reshape(K, lane, S * lane)
 
 
 def expand_chunked_aligned(kernel, groups, chunks, lane=128):
@@ -164,13 +233,17 @@ class FusedCellSpec:
     compact layout, statistics over the full width."""
 
     def __init__(self, nodes, dropout_rate=0.0, train=False,
-                 ln_eps=_LN_EPS_DEFAULT, use_norm=True, c_real=None):
+                 ln_eps=_LN_EPS_DEFAULT, use_norm=True, c_real=None,
+                 chunk_live=None):
         self.nodes = tuple(nodes)
         self.dropout_rate = float(dropout_rate)
         self.train = bool(train)
         self.ln_eps = float(ln_eps)
         self.use_norm = bool(use_norm)
         self.c_real = c_real
+        #: per-chunk live-lane counts (ceil-chunking: the last chunk may
+        #: carry fewer live groups).  None = uniform c_real // S per chunk.
+        self.chunk_live = None if chunk_live is None else tuple(chunk_live)
 
     @property
     def dropping(self):
@@ -178,7 +251,8 @@ class FusedCellSpec:
 
     def key(self):
         return (tuple(n.key() for n in self.nodes), self.dropout_rate,
-                self.train, self.ln_eps, self.use_norm, self.c_real)
+                self.train, self.ln_eps, self.use_norm, self.c_real,
+                self.chunk_live)
 
     @property
     def max_pad(self):
@@ -189,13 +263,23 @@ class FusedCellSpec:
 
 
 def _live_lane_mask(spec, T, C):
-    """[T, C] mask of live (non-pad) lanes in the aligned layout: each of
-    the C // 128 chunks carries ``c_real // S`` live channels left-aligned
-    in its 128 lanes."""
+    """[T, C] mask of live (non-pad) lanes in the aligned layout: chunk s
+    carries ``spec.chunk_live[s]`` live channels left-aligned in its 128
+    lanes (uniform ``c_real // S`` when chunk_live is unset)."""
     S = C // 128
-    w = spec.c_real // S
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1) % 128
-    return lane < w
+    if spec.chunk_live is None:
+        live = (spec.c_real // S,) * S
+    else:
+        live = spec.chunk_live
+    # all chunks but the last are uniformly full (ceil-chunking); express
+    # the per-chunk threshold arithmetically — pallas kernels cannot
+    # capture materialised constant arrays.
+    assert all(v == live[0] for v in live[:-1]), live
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+    lane = idx % 128
+    thr = jnp.where(idx // 128 < S - 1, np.int32(live[0]),
+                    np.int32(live[-1]))
+    return lane < thr
 
 
 def _masked_ln_stats(spec, xf, T, C):

@@ -122,11 +122,40 @@ def test_dropout_deterministic_and_scaled():
 def test_multichunk_parity(monkeypatch, impl):
     """S>=2 chunk layouts (the flagship case): per-chunk padding/unpadding
     and slicing must match the unfused path — forward and gradients
-    (ADVICE r2 #1: the small-shape tests resolve to S=1)."""
+    (ADVICE r2 #1: the small-shape tests resolve to S=1).  The compact
+    'fused' path chunks by divisors (chunk_count); the aligned path by
+    groups-per-chunk capacity (aligned_chunk_cap) — force each."""
     monkeypatch.setattr(PadConvRelu, 'chunk_count',
                         staticmethod(lambda groups, cin, cout: 2))
+    monkeypatch.setattr(fused_cell, 'aligned_chunk_cap',
+                        lambda groups, ci, co, lane=128: 2)
     ref, fus = _pair(ARCHS[1], impl)
     x = _x(seed=4)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(fus.apply(v, x)),
+                               rtol=1e-5, atol=1e-5)
+    ga = jax.grad(lambda v, x: jnp.sum(ref.apply(v, x) ** 2),
+                  argnums=(0, 1))(v, x)
+    gb = jax.grad(lambda v, x: jnp.sum(fus.apply(v, x) ** 2),
+                  argnums=(0, 1))(v, x)
+    for (path, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(ga),
+                                   jax.tree_util.tree_leaves_with_path(gb)):
+        scale = float(jnp.abs(la).max()) + 1e-3
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=0, atol=3e-3 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_ceil_chunking_uneven_last_chunk(monkeypatch):
+    """Ceil-chunking (the perf lever for ci=8 blocks): when the chunk
+    capacity does NOT divide the group count, the last chunk carries
+    fewer live groups (chunk_live non-uniform) — forward and gradient
+    parity with the unfused path must still hold."""
+    monkeypatch.setattr(fused_cell, 'aligned_chunk_cap',
+                        lambda groups, ci, co, lane=128: 3)  # 4 groups -> S=2
+    ref, fus = _pair(ARCHS[1], 'fused_aligned')
+    x = _x(seed=5)
     v = ref.init(jax.random.PRNGKey(0), x)
     np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
                                np.asarray(fus.apply(v, x)),

@@ -101,12 +101,18 @@ def test_gradients_match_reference_torch(arch, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(j_grads['head']['bias']),
         head.bias.grad.numpy(), rtol=2e-3, atol=1e-5)
-    # first block conv (deepest gradient path)
+    # first block conv (deepest gradient path).  atol is scale-aware:
+    # XLA:CPU's parallel conv accumulates in a thread-schedule-dependent
+    # order, so near-zero elements carry up to ~2e-3-of-max reassociation
+    # jitter run to run under host load (a fixed atol=1e-6 made this
+    # order/load-flaky).  0.5% of tensor scale keeps the test sensitive to
+    # the bug class it guards — the r3 XLA block-diagonal miscompile
+    # produced O(1) relative errors, ~200x above this floor.
     conv0 = [m for m in tmodel.model if isinstance(m, ref_ops.PadConvRelu)][0]
+    ref_g = conv0.conv.weight.grad.numpy().transpose(2, 1, 0)
     np.testing.assert_allclose(
-        np.asarray(j_grads['block0_conv']['conv']['kernel']),
-        conv0.conv.weight.grad.numpy().transpose(2, 1, 0),
-        rtol=5e-3, atol=1e-6)
+        np.asarray(j_grads['block0_conv']['conv']['kernel']), ref_g,
+        rtol=5e-3, atol=5e-3 * float(np.abs(ref_g).max()))
     # total gradient norms agree
     j_norm = float(jnp.sqrt(sum(jnp.sum(jnp.square(g))
                                 for g in jax.tree_util.tree_leaves(j_grads))))
