@@ -91,9 +91,7 @@ class _ConvParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        init = (nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
-                if self.init_scheme == 'scaled'
-                else nn.initializers.xavier_uniform())
+        init = _layers.kernel_initializer(self.init_scheme)
         k = self.param('conv_kernel_grouped', init,
                        (self.kernel_size, self.cin, self.filters), jnp.float32)
         b = self.param('conv_bias', nn.initializers.zeros,
@@ -107,9 +105,7 @@ class _DenseSub(nn.Module):
 
     @nn.compact
     def __call__(self, cin):
-        init = (nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
-                if self.init_scheme == 'scaled'
-                else nn.initializers.xavier_uniform())
+        init = _layers.kernel_initializer(self.init_scheme)
         k = self.param('kernel', init, (cin, self.features), jnp.float32)
         b = self.param('bias', nn.initializers.zeros,
                        (self.features,), jnp.float32)

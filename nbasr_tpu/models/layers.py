@@ -69,6 +69,29 @@ def relu20(x):
     return jnp.clip(x, 0.0, 20.0)
 
 
+def kernel_initializer(scheme):
+    """Kernel init by scheme name.
+
+    - ``'reference'``: Keras/torch glorot-uniform with their (all-groups)
+      fan_out — bit-faithful to the reference init, but on grouped convs
+      it shrinks activations ~10x per layer (see PadConvRelu docstring).
+    - ``'scaled'``: per-group variance-preserving (lecun on true fan_in).
+    - ``'he'``: gain-2 fan_in (He).  The gain compensates clip-ReLU's
+      variance halving so each cell's pre-LayerNorm std stays ~1, which
+      keeps the LayerNorm *backward* gain ~1.  With 'scaled', pre-LN std
+      ~0.5 per node compounds to a ~1e13 backward amplification across
+      the flagship's 18 cells + 4 block convs (measured, PERF.md r4);
+      after clip_by_global_norm(5.0) the late layers' gradients land
+      below Adam's eps=1e-7 and their updates die — the 26M model then
+      cannot leave the CTC all-blank minimum on any corpus.
+    """
+    if scheme == 'scaled':
+        return nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
+    if scheme == 'he':
+        return nn.initializers.variance_scaling(2.0, 'fan_in', 'normal')
+    return nn.initializers.xavier_uniform()
+
+
 def conv_padding(kernel_size, dilation, strides, context=FUTURE_CONTEXT,
                  pad_math='torch'):
     """(left, right) time padding for :class:`PadConvRelu`.
@@ -156,9 +179,7 @@ class PadConvRelu(nn.Module):
         # (all groups) — exactly the fans Keras/torch use, so
         # xavier_uniform here reproduces the reference init bit-for-bit
         # in distribution, and fan_in-scaling gives variance preservation.
-        if self.init_scheme == 'scaled':
-            return nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
-        return nn.initializers.xavier_uniform()
+        return kernel_initializer(self.init_scheme)
 
     def _resolved_impl(self):
         if self.groups == 1:
@@ -294,9 +315,7 @@ class LinearRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        init = (nn.initializers.variance_scaling(1.0, 'fan_in', 'normal')
-                if self.init_scheme == 'scaled'
-                else nn.initializers.xavier_uniform())
+        init = kernel_initializer(self.init_scheme)
         x = nn.Dense(self.filters, name='dense', kernel_init=init,
                      dtype=x.dtype)(x)
         x = relu20(x)
