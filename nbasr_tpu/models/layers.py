@@ -54,10 +54,14 @@ def _guard_expanded_weights(w):
     TPU-only: on XLA:CPU the barrier is not needed (no miscompile) and it
     *changes the conv lowering* enough to perturb f32 gradients beyond the
     torch-parity tolerance (VERDICT r3 weak #1) — so it must not be applied
-    there."""
-    if _platform_is_tpu():
+    there.  Gated on the actual LOWERING platform via
+    ``lax.platform_dependent`` so a CPU-default process that lowers the
+    conv for TPU (explicit backend arg, AOT lowering) still gets the
+    barrier; ``_PLATFORM_TPU`` monkeypatching (tests) still forces it."""
+    if _PLATFORM_TPU:  # test override: force the barrier everywhere
         return jax.lax.optimization_barrier(w)
-    return w
+    return jax.lax.platform_dependent(
+        w, tpu=jax.lax.optimization_barrier, default=lambda x: x)
 
 #: LayerNorm epsilon: the torch backend's 1e-3 (model/torch/model.py:47,92);
 #: TF used the Keras default 1e-3 as well for LayerNormalization.

@@ -126,6 +126,8 @@ class Trainer:
         #: shape-keyed AOT-compiled eval executables (see prewarm_eval)
         self._eval_compiled = {}
         self._prewarm_thread = None
+        #: last prewarm-compile failure (None = ok / not attempted)
+        self.prewarm_error = None
 
     # ------------------------------------------------------------------
     # functional core

@@ -85,16 +85,19 @@ ref = ref_ds.from_folder(str(out), max_epochs=40, seeds=list(SEEDS),
 checked = 0
 for arch in archs:
     for seed in SEEDS:
-        info = ref.full_info(arch, seed=seed, return_dict=True)
+        info = ref.full_info(arch, seed=seed, include_static_info=True,
+                             return_dict=True)
         assert info is not None, (arch, seed)
         curve = info['val_per']
         assert len(curve) == 40, f'curve length {len(curve)} != 40'
         assert all(isinstance(v, float) for v in curve)
         assert isinstance(info['test_per'], float)
         assert info['arch_vec'] is not None
-        assert info['params'] > 0, info
-        assert info['flops'] > 0, info
-        assert info['latency'][device_name] > 0, info
+        # reference nests static info under 'info' and latency under the
+        # device key (dataset.py:309-326, 129-133, 194-214)
+        assert info['info']['params'] > 0, info
+        assert info['info']['flops'] > 0, info
+        assert info[device_name]['latency'] > 0, info
         # val_acc semantics over the 40-float curve (dataset.py:422-453)
         for e in (1, 16, 40):
             assert ref.val_acc(arch, epoch=e, best=True, seed=seed) == \

@@ -86,7 +86,12 @@ def main():
     # non-zero bias (ADVICE r3 low): the oracle must compute conv + bias
     # then clip — with the default zero init a missing bias term would be
     # invisible (and ReLU-dead windows sit exactly at the clip tie).
-    v = jax.tree_util.tree_map(lambda a: a, v)  # unfreeze-safe shallow copy
+    # mutable deep copy that works for both dict and FrozenDict variable
+    # collections (ADVICE r4 low: tree_map preserves FrozenDict, which
+    # would reject item assignment)
+    import flax.core
+    v = flax.core.unfreeze(v)
+    v['params'] = dict(v['params'])
     v['params']['conv_bias'] = jnp.asarray(
         rs.randn(C) * 0.1, jnp.float32)
     ya = jax.jit(pcr.apply)(v, x)

@@ -51,6 +51,9 @@ N_TONES = int(sys.argv[8]) if len(sys.argv) > 8 else 4
 DECAY_START = int(sys.argv[9]) if len(sys.argv) > 9 else 1000
 
 if N_TONES != 4:
+    # tone ids run 1..N_TONES; the encoder is fixed at PhonemeEncoder(48)
+    # (vocab 49 with blank), so ids must stay below 48 (ADVICE r4 low)
+    assert 1 <= N_TONES < 48, f'N_TONES={N_TONES} out of vocab range [1,47]'
     import numpy as _np
     import tests.test_per_recipe as _tpr
     _tpr.TONE_FREQS = _np.geomspace(300.0, 6000.0, N_TONES)
