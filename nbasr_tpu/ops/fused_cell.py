@@ -348,7 +348,13 @@ def _node_weight_count(node):
 # ---------------------------------------------------------------------------
 
 def _emit_conv(node, src, pad_ref, acc_ref, w_ref, b_ref, T, C):
-    """conv(src) + bias into acc_ref; src is a [T, C] array (VMEM value)."""
+    """conv(src) + bias into acc_ref; src is a [T, C] array (VMEM value).
+
+    K-tap register blocking (PERF.md r4 lever): the chunk loop is OUTER and
+    the K taps accumulate into an SSA *value*, so the MXU chains the K
+    matmuls through its accumulator and the ``[T, lane]`` slab hits VMEM
+    once per chunk — instead of one read-modify-write round trip per tap
+    (K× the traffic) that the old ``acc_ref[...] +=`` form paid."""
     lpad, rpad, K, d, S = node.lpad, node.rpad, node.K, node.d, node.S
     Gci = node.lane_in
     Gco = node.lane_out
@@ -358,16 +364,17 @@ def _emit_conv(node, src, pad_ref, acc_ref, w_ref, b_ref, T, C):
     tail = pad_ref.shape[0] - (lpad + T)
     if tail:
         pad_ref[lpad + T:, :] = jnp.zeros((tail, C), pad_ref.dtype)
-    acc_ref[...] = jnp.broadcast_to(
-        b_ref[0, :].astype(jnp.float32), (T, C))
-    for k in range(node.K):
-        off = k * d
-        for s in range(S):
+    bias = b_ref[0, :].astype(jnp.float32)
+    for s in range(S):
+        acc = jnp.broadcast_to(bias[s * Gco:(s + 1) * Gco], (T, Gco))
+        for k in range(K):
+            off = k * d
             xs = pad_ref[off:off + T, s * Gci:(s + 1) * Gci]
             wk = w_ref[k, :, s * Gco:(s + 1) * Gco]
-            acc_ref[:, s * Gco:(s + 1) * Gco] += jax.lax.dot_general(
+            acc = acc + jax.lax.dot_general(
                 xs, wk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        acc_ref[:, s * Gco:(s + 1) * Gco] = acc
 
 
 def _emit_linear(src, acc_ref, w_ref, b_ref, T, C):
@@ -453,7 +460,7 @@ def _bwd_kernel(spec, T, C, seed_ref, x_ref, dy_ref, *refs):
     if spec.use_norm:
         dscale_ref, dbias_ref = refs[i], refs[i + 1]
         i += 2
-    outs_ref, mult_ref, g_ref, pad_ref, acc_ref, dxp_ref = refs[i:i + 6]
+    outs_ref, mult_ref, g_ref, pad_ref, acc_ref, dzp_ref = refs[i:i + 6]
 
     row0 = pl.program_id(0) == 0
 
@@ -584,22 +591,42 @@ def _bwd_kernel(spec, T, C, seed_ref, x_ref, dy_ref, *refs):
         if tail:
             pad_ref[lpad + T:, :] = jnp.zeros((tail, C), pad_ref.dtype)
 
-        dxp_ref[...] = jnp.zeros_like(dxp_ref)
-        for k in range(K):
-            off = k * d
-            for s in range(S):
+        # dx as a GATHER conv over a padded dz buffer (flipped taps):
+        # dx[i] = Σ_k dz[i + lpad − k·d] · w[k]ᵀ — placing dz at offset
+        # o = (K−1)·d − lpad makes every tap a static slice at
+        # off_k = (K−1−k)·d + (o+lpad−(K−1)·d) = maxoff − k·d, so like the
+        # forward the K taps accumulate in an SSA value per chunk and the
+        # [T, lane] accumulator hits VMEM once per chunk instead of one
+        # read-modify-write per tap (the old dxp_ref[...] += scatter form).
+        maxoff = (K - 1) * d
+        o = maxoff - lpad
+        assert o >= 0, (lpad, K, d)
+        if o:
+            dzp_ref[:o, :] = jnp.zeros((o, C), dzp_ref.dtype)
+        dzp_ref[o:o + T, :] = dzc
+        ztail = dzp_ref.shape[0] - (o + T)
+        if ztail:
+            dzp_ref[o + T:, :] = jnp.zeros((ztail, C), dzp_ref.dtype)
+
+        for s in range(S):
+            dzs = dzc[:, s * Gco:(s + 1) * Gco]
+            for k in range(K):
+                off = k * d
                 xs = pad_ref[off:off + T, s * Gci:(s + 1) * Gci]
-                dzs = dzc[:, s * Gco:(s + 1) * Gco]
                 dw_ref[k, :, s * Gco:(s + 1) * Gco] += jax.lax.dot_general(
                     xs, dzs, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+            acc = jnp.zeros((T, Gci), jnp.float32)
+            for k in range(K):
+                off = maxoff - k * d
+                dzk = dzp_ref[off:off + T, s * Gco:(s + 1) * Gco]
                 wk = w_ref[k, :, s * Gco:(s + 1) * Gco]
-                dxp_ref[off:off + T, s * Gci:(s + 1) * Gci] += (
-                    jax.lax.dot_general(
-                        dzs, wk, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-        g_ref[n] = (g_ref[n].astype(jnp.float32)
-                    + dxp_ref[lpad:lpad + T, :]).astype(g_ref.dtype)
+                acc = acc + jax.lax.dot_general(
+                    dzk, wk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            g_ref[n, :, s * Gci:(s + 1) * Gci] = (
+                g_ref[n, :, s * Gci:(s + 1) * Gci].astype(jnp.float32)
+                + acc).astype(g_ref.dtype)
 
     dx_ref[0] = g_ref[0].astype(dx_ref.dtype)
 
@@ -701,7 +728,10 @@ def _backward(spec, x, weights, ln, seed, dy):
             pltpu.VMEM((n_nodes + 1, T, C), jnp.float32),
             pltpu.VMEM((T + lpad + rpad, C), x.dtype),  # padded source
             pltpu.VMEM((T, C), jnp.float32),            # conv accumulator
-            pltpu.VMEM((T + lpad + rpad, C), jnp.float32),  # dx accumulator
+            # padded-dz buffer for the gather-style dx (flipped-tap conv)
+            pltpu.VMEM((T + max((
+                (n.K - 1) * n.d for n in spec.nodes if n.kind == 'conv'),
+                default=0), C), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
