@@ -115,6 +115,13 @@ class Trainer:
         else:
             self.fold_table = None
 
+        #: when set (ParallelTrainer's shard_map mode), the step functions
+        #: run per-device over this mesh axis with explicit psums — the
+        #: composition that lets the fused Pallas cell run under a
+        #: multi-device data-parallel mesh (GSPMD cannot partition the
+        #: Mosaic custom call; shard_map runs it per-shard).
+        self._shard_axis = None
+        self._shard_axis_size = 1
         self.model = None
         self.optimizer = None
         self.state = None
@@ -145,11 +152,22 @@ class Trainer:
         fold = self.fold_table
 
         rng_impl = self.rng_impl
+        axis = self._shard_axis
+        axis_size = self._shard_axis_size
+
+        def psum_metrics(m):
+            if axis is None:
+                return m
+            return {k: (jax.lax.psum(num, axis), jax.lax.psum(den, axis))
+                    for k, (num, den) in m.items()}
 
         def train_step(state, batch, lr):
             rng = jax.random.fold_in(
                 jax.random.wrap_key_data(state.rng, impl=rng_impl),
                 state.step)
+            if axis is not None:
+                # distinct dropout stream per data shard
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             feats, fsize = self._features(batch)
 
             def inner(params):
@@ -160,9 +178,19 @@ class Trainer:
                 ctc = loss_fn(logits, lsize, batch['labels'],
                               batch['label_size'], metrics=m,
                               valid=batch['valid'])
+                if axis is not None:
+                    # global-batch mean: this shard's weighted sum over the
+                    # psum'd denominator; L2 is counted once globally
+                    num, den = m['ctc_loss']
+                    gden = jnp.maximum(jax.lax.psum(den, axis), 1.0)
+                    ctc = num / gden
+                    return ctc + conv_l2(params) / axis_size, m
                 return ctc + conv_l2(params), m
 
             (_, m), grads = jax.value_and_grad(inner, has_aux=True)(state.params)
+            if axis is not None:
+                grads = jax.lax.psum(grads, axis)
+                m = psum_metrics(m)
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
@@ -200,7 +228,7 @@ class Trainer:
             ler_den = batch['label_size'].astype(jnp.float32) * valid
             m['wer'] = (wer_num.sum(), wer_den.sum())
             m['ler'] = (ler_num.sum(), ler_den.sum())
-            return accumulate(acc, m)
+            return accumulate(acc, psum_metrics(m))
 
         self._train_step = self._jit_train_step(train_step)
         self._eval_step = self._jit_eval_step(eval_step)
@@ -213,6 +241,9 @@ class Trainer:
 
     def _jit_eval_step(self, fn):
         return jax.jit(fn, donate_argnums=2)
+
+    def _jit_decode_step(self, fn):
+        return jax.jit(fn)
 
     def _put_batch(self, batch):
         return {k: jnp.asarray(v) for k, v in batch.items()}
@@ -509,7 +540,7 @@ class Trainer:
                                               beam_width=self.beam_width)
                 return greedy_decode(logits, lsize)
 
-            self._decode_step = jax.jit(decode_step)
+            self._decode_step = self._jit_decode_step(decode_step)
         hyp, hyp_len = jax.device_get(
             self._decode_step(self.state.params, batch))
         out = []
