@@ -60,7 +60,14 @@ class ASRModel(nn.Module):
     #: 'reference' (faithful Keras/torch glorot — see layers.PadConvRelu
     #: note about init-time activation collapse) or 'scaled'
     #: (variance-preserving; recommended with bfloat16).
-    init_scheme: str = 'reference'
+    #: default 'scaled' (per-group variance-preserving) — a DOCUMENTED
+    #: deviation from the reference's Keras/torch glorot ('reference'):
+    #: with groups=100 the reference fans shrink activations ~10x per
+    #: layer, the flagship starts numerically collapsed, and in bf16 it
+    #: cannot leave the CTC all-blank minimum (PERF.md r4; measured on
+    #: the tone-proxy corpus).  'reference' remains available for
+    #: bit-faithful init experiments (--init_scheme reference).
+    init_scheme: str = 'scaled'
     #: grouped-conv implementation for the cell ops: 'auto' | 'native' |
     #: 'masked_dense' | 'pallas' (see layers.PadConvRelu perf note).
     grouped_impl: str = 'auto'

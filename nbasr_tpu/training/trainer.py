@@ -6,11 +6,19 @@ as a functional core (pure jitted step functions over an explicit
 ``TrainState``) plus a thin host loop with the reference's API surface:
 ``train / step / save / load / remember_best / recall_best``.
 
-Recipe parity (BASELINE.md): Adam(lr, eps=1e-7), grad-clip 5.0 (before
-Adam), lr ×0.9 per epoch from epoch 5, conv-kernel L2 0.01, beam-width-12
+Recipe parity (BASELINE.md): Adam(lr), grad-clip 5.0 (before Adam),
+lr ×0.9 per epoch from epoch 5, conv-kernel L2 0.01, beam-width-12
 eval decoding, best-on-val-LER checkpointing with auto-resume, final test
 evaluation on the best weights, ``scores.pickle``/``test_scores.pickle``
 artifacts.
+
+Documented deviation: ``adam_eps`` defaults to 1e-16, not the reference's
+1e-7 (``torch/trainer.py:84``).  Global-norm clipping rescales the
+flagship's gradients so the late layers' entries land below 1e-7, where
+the reference eps destroys Adam's per-parameter scale invariance and
+freezes the head — the 26M model then cannot leave the CTC all-blank
+minimum (PERF.md r4, measured; eps=1e-16 unfreezes every block).  Pass
+``adam_eps=1e-7`` to reproduce the reference optimizer bit-for-bit.
 
 Differences by design:
   - The audio frontend runs *inside* the jitted step (log-mel on TPU, fused
@@ -68,7 +76,7 @@ class Trainer:
     def __init__(self, dataloaders, loss=None, devices=None, save_dir=None,
                  verbose=True, frontend=None, eval_decoder='beam',
                  beam_width=12, strict_numerics=False, decay=0.9,
-                 decay_start_epoch=5, clip_norm=5.0, adam_eps=1e-7,
+                 decay_start_epoch=5, clip_norm=5.0, adam_eps=1e-16,
                  profile_dir=None, profile_steps=0, tensorboard=True,
                  tb_step_interval=10, rng_impl='rbg'):
         encoder, data_train, data_validate, data_test = dataloaders

@@ -39,7 +39,9 @@ DTYPE = (jnp.float32 if len(sys.argv) > 6 and sys.argv[6] == 'f32'
 # sqrt(v) << eps kills their Adam updates — the model is pinned at the
 # CTC all-blank minimum.  A small eps restores Adam's per-parameter
 # scale invariance; pass 1e-7 to reproduce the (non-converging)
-# reference-eps behaviour on this proxy task.
+# reference-eps behaviour on this proxy task.  1e-16 IS the shipped
+# Trainer default since r5 (trainer.py), so this run exercises exactly
+# what `python train.py 1 0 1 0 0 1 0 0 0` ships.
 ADAM_EPS = float(sys.argv[7]) if len(sys.argv) > 7 else 1e-16
 #: tone-class count of the proxy corpus (default: the 4-tone corpus of
 #: tests/test_per_recipe.py; larger values span 300-6000 Hz and make the

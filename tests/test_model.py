@@ -177,11 +177,11 @@ def test_conv_op_parity_with_torch_reference(op_name, kernel, dilation, impl):
 def test_reference_init_collapse_documented():
     """The reference's glorot init on 100-group convs shrinks activations
     ~10x per conv (Keras/torch compute fan_out over ALL groups); with the
-    default 'reference' scheme the untrained full model outputs collapse
-    toward zero, exactly as the reference backends do at init.  'scaled'
-    init keeps them alive (recommended for bf16)."""
+    'reference' scheme the untrained full model outputs collapse toward
+    zero, exactly as the reference backends do at init — which is why the
+    SHIPPED default is now 'scaled' (r5; see models/asr.py)."""
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 80))
-    m_ref = get_model(GOLDEN_ARCH, use_rnn=False)
+    m_ref = get_model(GOLDEN_ARCH, use_rnn=False, init_scheme='reference')
     v = m_ref.init(jax.random.PRNGKey(0), x)
     y_ref = m_ref.apply(v, x)
     assert float(jnp.abs(y_ref).max()) < 1e-20  # collapsed (reference-faithful)

@@ -248,3 +248,46 @@ def test_prewarm_failure_is_surfaced_and_falls_back(tiny_loaders,
     m = trainer2.evaluate(tiny_loaders[2])
     for k in baseline:
         np.testing.assert_allclose(m[k], baseline[k], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_default_config_trains_all_layers(tiny_loaders):
+    """The SHIPPED defaults (init_scheme='scaled', adam_eps=1e-16, bf16
+    encoder) must actually move every layer's params at flagship DEPTH
+    (18 cells + 4 block convs; narrow channels for CPU speed) — the r4
+    failure mode was late layers frozen by clip-rescaled gradients
+    falling below Adam's eps (VERDICT r4 next #2)."""
+    import jax.numpy as jnp
+    from nbasr_tpu.models.asr import ASRModel
+    from nbasr_tpu.training.trainer import Trainer
+    assert ASRModel.__dataclass_fields__['init_scheme'].default == 'scaled'
+    import inspect
+    assert inspect.signature(Trainer.__init__).parameters[
+        'adam_eps'].default == 1e-16
+
+    trainer = get_trainer(tiny_loaders, get_loss(), verbose=False,
+                          eval_decoder='greedy')   # default adam_eps
+    model = get_model([[1, 0], [1, 0, 0], [1, 0, 0, 0]], use_rnn=True,
+                      dropout_rate=0.0, cell_dropout=0.0, data_norm=None,
+                      block_filters=(40, 40, 60, 60), cell_groups=10,
+                      rnn_units=32, compute_dtype=jnp.bfloat16)
+    trainer.init_state(model, seed=0)
+    p0 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    batch = next(iter(tiny_loaders[1]))
+    for _ in range(4):
+        trainer.step(batch, training=True, lr=1e-4)
+    assert int(trainer.state.opt_state.total_notfinite) == 0
+    p1 = trainer.state.params
+
+    def rel_movement(sub):
+        a = jax.tree_util.tree_leaves(p0[sub])
+        b = jax.tree_util.tree_leaves(p1[sub])
+        num = sum(float(np.abs(np.asarray(x, np.float32)
+                               - np.asarray(y, np.float32)).sum())
+                  for x, y in zip(a, b))
+        den = sum(float(np.abs(np.asarray(x, np.float32)).sum())
+                  for x in a) + 1e-12
+        return num / den
+
+    for sub in ('head', 'lstm', 'block0_conv', 'block3_cell5'):
+        assert rel_movement(sub) > 1e-6, f'{sub} params frozen'

@@ -37,6 +37,15 @@ def main():
                         help='tensor-parallel mesh size')
     parser.add_argument('--decoder', type=str, default='beam',
                         choices=['beam', 'greedy'])
+    parser.add_argument('--init_scheme', type=str, default=None,
+                        choices=['scaled', 'reference', 'he'],
+                        help="kernel init (default: the model's 'scaled'; "
+                             "'reference' = bit-faithful Keras/torch "
+                             "glorot, which collapses the flagship in "
+                             "bf16 — see models/asr.py)")
+    parser.add_argument('--adam_eps', type=float, default=None,
+                        help="Adam epsilon (default: the trainer's 1e-16; "
+                             "pass 1e-7 for the reference optimizer)")
     parser.add_argument('--reset', action='store_true')
     parser.add_argument('--seed', type=int, default=1235)
     parser.add_argument('--platform', type=str, default=None,
@@ -101,21 +110,28 @@ def main():
     dataloaders = get_dataloaders(args.data, batch_size=args.batch_size)
     loss = get_loss()
     import jax.numpy as jnp
+    model_kw = {}
+    if args.init_scheme:
+        model_kw['init_scheme'] = args.init_scheme
     model = nbasr_tpu.get_model(
         arch, use_rnn=args.rnn, dropout_rate=args.dropout, data_norm=True,
         compute_dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
-        grouped_impl=args.grouped_impl)
+        grouped_impl=args.grouped_impl, **model_kw)
 
+    trainer_kw = {}
+    if args.adam_eps is not None:
+        trainer_kw['adam_eps'] = args.adam_eps
     if args.dp or args.tp > 1:
         from nbasr_tpu.parallel import ParallelTrainer, make_mesh
         trainer = ParallelTrainer(dataloaders, loss,
                                   mesh=make_mesh(dp=args.dp, tp=args.tp),
                                   save_dir=results_folder,
-                                  eval_decoder=args.decoder)
+                                  eval_decoder=args.decoder, **trainer_kw)
     else:
         trainer = nbasr_tpu.get_trainer(dataloaders, loss,
                                         save_dir=results_folder,
-                                        eval_decoder=args.decoder)
+                                        eval_decoder=args.decoder,
+                                        **trainer_kw)
     trainer.train(model, epochs=args.epochs, lr=args.lr, reset=args.reset,
                   model_name=args.exp_name, seed=args.seed)
 
