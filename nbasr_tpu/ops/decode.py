@@ -125,17 +125,21 @@ def beam_search_decode(logits, logit_len, beam_width=12, max_len=None, blank=0):
                      & (h2[:, None] == h2p[None, :])
                      & (last[None, :] >= 0)
                      & (p_tot[:, None] > _NEG_INF / 2))       # [W ext, W stay]
-            # ext_for_stay[w, w'] = ext_pnb[w, last_w' - 1]
-            ext_for_stay = jnp.take_along_axis(
-                ext_pnb, (jnp.clip(last, 1, V - 1) - 1)[None, :], axis=1)
+            # ext_for_stay[w, w'] = ext_pnb[w, last_w' - 1], via a masked
+            # max over the last-char one-hot — exact (no MXU rounding) and
+            # free of take_along_axis's gather lowering; the [W, W, V-1]
+            # intermediate is 7k elements
+            last_onehot = (jnp.maximum(last, 0)[:, None] - 1
+                           == jnp.arange(V - 1)[None, :])     # [W stay, V-1]
+            ext_for_stay = jnp.max(
+                jnp.where(last_onehot[None, :, :], ext_pnb[:, None, :],
+                          _NEG_INF), axis=-1)                 # [W ext, W stay]
+            oh = last_onehot.astype(jnp.float32)
             contrib = jnp.where(match, ext_for_stay, _NEG_INF)
             merged = jax.nn.logsumexp(contrib, axis=0)        # [W stay]
             stay_pnb = _log_add(stay_pnb, merged)
             # mask out merged extends: kill[w, c] = ∃w' matched with last=c+1
-            last_onehot = (jnp.maximum(last, 0)[:, None] - 1
-                           == jnp.arange(V - 1)[None, :])     # [W stay, V-1]
-            kill = (match.astype(jnp.float32)
-                    @ last_onehot.astype(jnp.float32)) > 0.5  # [W ext, V-1]
+            kill = (match.astype(jnp.float32) @ oh) > 0.5     # [W ext, V-1]
             ext_pnb = jnp.where(kill, _NEG_INF, ext_pnb)
 
             # --- top-W over stays (fully merged) + extends (distinct)
@@ -149,10 +153,11 @@ def beam_search_decode(logits, logit_len, beam_width=12, max_len=None, blank=0):
             cu = c_sel.astype(jnp.uint32)
 
             new_pb = jnp.where(alive & is_stay, stay_pb[w_sel], _NEG_INF)
+            # an extend's total score IS its p_nb (no blank mass yet), so
+            # top_score already holds it — no 588-element gather needed
             new_pnb = jnp.where(
                 alive,
-                jnp.where(is_stay, stay_pnb[w_sel],
-                          ext_pnb.reshape(-1)[jnp.maximum(top_idx - W, 0)]),
+                jnp.where(is_stay, stay_pnb[w_sel], top_score),
                 _NEG_INF)
             new_last = jnp.where(is_stay, last[w_sel], c_sel)
             new_h1 = jnp.where(is_stay, h1[w_sel], h1[w_sel] * _H1_MULT + cu)
