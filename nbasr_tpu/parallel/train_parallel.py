@@ -113,10 +113,19 @@ class ParallelTrainer(Trainer):
             fn = self._shard_map(fn, 1)     # (state, batch, lr)
         return jax.jit(fn, donate_argnums=0)
 
-    def _jit_eval_step(self, fn):
-        if self._shard_axis:
-            fn = self._shard_map(fn, 1)     # (params, batch, acc)
-        return jax.jit(fn, donate_argnums=2)
+    def _jit_eval_steps(self, fwd, decode):
+        if not self._shard_axis:
+            return jax.jit(fwd), jax.jit(decode, donate_argnums=3)
+        from jax.sharding import PartitionSpec as P
+        D = P('data')
+        # eval_fwd: (params, batch) -> (logits, lsize, m_psummed)
+        fwd = jax.shard_map(fwd, mesh=self.mesh, in_specs=(P(), D),
+                            out_specs=(D, D, P()), check_vma=False)
+        # eval_decode: (logits, lsize, batch, acc, m_fwd) -> acc'
+        decode = jax.shard_map(decode, mesh=self.mesh,
+                               in_specs=(D, D, D, P(), P()),
+                               out_specs=P(), check_vma=False)
+        return jax.jit(fwd), jax.jit(decode, donate_argnums=3)
 
     def _jit_decode_step(self, fn):
         if not self._shard_axis:

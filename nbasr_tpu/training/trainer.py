@@ -136,7 +136,8 @@ class Trainer:
         self._best_weights = None
         self._stats = None
         self._train_step = None
-        self._eval_step = None
+        self._eval_fwd = None
+        self._eval_decode = None
         self._decode_step = None
         #: shape-keyed AOT-compiled eval executables (see prewarm_eval)
         self._eval_compiled = {}
@@ -207,7 +208,14 @@ class Trainer:
             return state.replace(step=state.step + 1, params=params,
                                  opt_state=opt_state, metrics=metrics)
 
-        def eval_step(params, batch, acc):
+        # The eval pass is TWO jitted programs, not one: composing the
+        # decoder scan into the big encoder program makes XLA:TPU re-run
+        # its optimization passes over the combined graph — measured 105 s
+        # cold for encoder+beam vs 51 s encoder-only + 1.9 s beam-only
+        # (r5; VERDICT r4 next #5).  Splitting at the logits boundary cuts
+        # the cold eval compile in half for one extra [B, T/4, 49] HBM
+        # round trip per batch.
+        def eval_fwd(params, batch):
             feats, fsize = self._features(batch)
             logits = model.apply(self._variables(params), feats, fsize,
                                  train=False)
@@ -215,6 +223,9 @@ class Trainer:
             m = {}
             loss_fn(logits, lsize, batch['labels'], batch['label_size'],
                     metrics=m, valid=batch['valid'])
+            return logits, lsize, psum_metrics(m)
+
+        def eval_decode(logits, lsize, batch, acc, m_fwd):
             if self.eval_decoder == 'beam':
                 hyp, hyp_len = beam_search_decode(logits, lsize,
                                                   beam_width=self.beam_width)
@@ -234,12 +245,15 @@ class Trainer:
             ler_num = edit_distance(hyp39, hyp_len, ref39,
                                     batch['label_size']) * valid
             ler_den = batch['label_size'].astype(jnp.float32) * valid
-            m['wer'] = (wer_num.sum(), wer_den.sum())
-            m['ler'] = (ler_num.sum(), ler_den.sum())
-            return accumulate(acc, psum_metrics(m))
+            m = {'wer': (wer_num.sum(), wer_den.sum()),
+                 'ler': (ler_num.sum(), ler_den.sum())}
+            m = psum_metrics(m)
+            m.update(m_fwd)    # loss pair was already psum'd in eval_fwd
+            return accumulate(acc, m)
 
         self._train_step = self._jit_train_step(train_step)
-        self._eval_step = self._jit_eval_step(eval_step)
+        self._eval_fwd, self._eval_decode = self._jit_eval_steps(eval_fwd,
+                                                                 eval_decode)
         self._decode_step = None  # lazily rebuilt for the new model
         self._eval_compiled = {}  # AOT executables are model-specific
 
@@ -247,8 +261,8 @@ class Trainer:
     def _jit_train_step(self, fn):
         return jax.jit(fn, donate_argnums=0)
 
-    def _jit_eval_step(self, fn):
-        return jax.jit(fn, donate_argnums=2)
+    def _jit_eval_steps(self, fwd, decode):
+        return jax.jit(fwd), jax.jit(decode, donate_argnums=3)
 
     def _jit_decode_step(self, fn):
         return jax.jit(fn)
@@ -483,8 +497,12 @@ class Trainer:
                 if sig in self._eval_compiled:
                     continue
                 try:
-                    self._eval_compiled[sig] = self._eval_step.lower(
-                        params, placed, acc).compile()
+                    fwd_c = self._eval_fwd.lower(params, placed).compile()
+                    logits, lsize, m = jax.eval_shape(
+                        self._eval_fwd, params, placed)
+                    dec_c = self._eval_decode.lower(
+                        logits, lsize, placed, acc, m).compile()
+                    self._eval_compiled[sig] = (fwd_c, dec_c)
                 except Exception as e:
                     # VERDICT r3 #7: a failed prewarm must not be silent —
                     # record it and fall back to plain jit in evaluate()
@@ -509,8 +527,11 @@ class Trainer:
             self._prewarm_thread = None
         compiled = self._eval_compiled.get(self._batch_sig(batch))
         if compiled is not None:
-            return compiled(params, batch, acc)
-        return self._eval_step(params, batch, acc)
+            fwd_c, dec_c = compiled
+            logits, lsize, m = fwd_c(params, batch)
+            return dec_c(logits, lsize, batch, acc, m)
+        logits, lsize, m = self._eval_fwd(params, batch)
+        return self._eval_decode(logits, lsize, batch, acc, m)
 
     def evaluate(self, loader, return_transcripts=0):
         """Run eval over a loader; returns {'ctc_loss', 'wer', 'ler'} ratios.

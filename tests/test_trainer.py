@@ -236,15 +236,15 @@ def test_prewarm_failure_is_surfaced_and_falls_back(tiny_loaders,
         def __call__(self, *a, **k):
             return trainer2.__class__._run_eval_step  # never reached
 
-    real_step = trainer2._eval_step
-    monkeypatch.setattr(trainer2, '_eval_step', _Poisoned())
+    real_step = trainer2._eval_fwd
+    monkeypatch.setattr(trainer2, '_eval_fwd', _Poisoned())
     trainer2.prewarm_eval(tiny_loaders[2])
     trainer2._prewarm_thread.join()
     assert trainer2.prewarm_error is not None
     assert any('prewarm_eval' in str(w.message) for w in recwarn.list)
     assert not trainer2._eval_compiled                # nothing cached
     # evaluate still runs via the (restored) jit path
-    monkeypatch.setattr(trainer2, '_eval_step', real_step)
+    monkeypatch.setattr(trainer2, '_eval_fwd', real_step)
     m = trainer2.evaluate(tiny_loaders[2])
     for k in baseline:
         np.testing.assert_allclose(m[k], baseline[k], rtol=1e-6)
