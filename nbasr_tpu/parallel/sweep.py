@@ -79,7 +79,7 @@ def run_sweep(archs, seeds=(1234, 1235, 1236), *, data_root='TIMIT',
               out_dir='nb-asr-db', batch_size=64, epochs=40, lr=1e-4,
               use_rnn=True, eval_decoder='beam', group_size=None,
               save_dir=None, verbose=False, progress=True, model_kwargs=None,
-              workers=None):
+              workers=None, resume=True):
     """Train ``archs`` × ``seeds`` and write reference-format training DBs.
 
     ``archs``: list of arch vectors, or an int (take the first N unique
@@ -89,7 +89,17 @@ def run_sweep(archs, seeds=(1234, 1235, 1236), *, data_root='TIMIT',
     devices — worker threads share groups round-robin (useful on one chip:
     thread A's host work overlaps thread B's device work, and XLA dispatch
     plus the compilation cache are thread-safe).  Returns the written paths.
+
+    ``resume``: every completed job is appended to
+    ``{out_dir}/sweep-e{epochs}.jsonl`` as it finishes; a restarted sweep
+    replays finished (seed, hash) rows from the log instead of retraining
+    them, so an interrupted multi-hour regeneration loses at most the
+    in-flight jobs (a long sweep is exactly where preemption happens).
     """
+    import json
+    import pathlib
+    import threading as _threading
+
     if archs is None or isinstance(archs, int):
         archs = list(unique_architectures(limit=archs).values())
     groups = device_groups(group_size=group_size)
@@ -99,15 +109,41 @@ def run_sweep(archs, seeds=(1234, 1235, 1236), *, data_root='TIMIT',
     jobs = [(seed, i, arch) for seed in seeds for i, arch in enumerate(archs)]
     per_seed_rows = {seed: [None] * len(archs) for seed in seeds}
 
+    log_path = pathlib.Path(out_dir) / f'sweep-e{epochs}.jsonl'
+    log_lock = _threading.Lock()
+    done = {}
+    if resume and log_path.exists():
+        with open(log_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue    # torn tail write from a killed run
+                done[(rec['seed'], rec['hash'])] = rec
+        if progress and done:
+            print(f'[sweep] resume: {len(done)} finished jobs in {log_path}')
+
     def run_job(job, group):
         seed, i, arch = job
+        h = get_model_hash(arch)
+        cached = done.get((seed, h))
+        if cached is not None:
+            per_seed_rows[seed][i] = [h, cached['curve'], cached['test'],
+                                      arch]
+            return
         t0 = time.time()
         curve, test_per = _train_one(
             arch, seed, data_root, batch_size, epochs, lr, group,
             use_rnn, eval_decoder, save_dir, verbose, model_kwargs)
-        h = get_model_hash(arch)
-        per_seed_rows[seed][i] = [h, list(map(float, curve)),
-                                  float(test_per), arch]
+        row = [h, list(map(float, curve)), float(test_per), arch]
+        per_seed_rows[seed][i] = row
+        if resume:
+            rec = json.dumps({'seed': seed, 'hash': h, 'curve': row[1],
+                              'test': row[2]})
+            with log_lock:
+                log_path.parent.mkdir(parents=True, exist_ok=True)
+                with open(log_path, 'a') as f:
+                    f.write(rec + '\n')
         if progress:
             print(f'[sweep] seed {seed} arch {i + 1}/{len(archs)} '
                   f'hash {h[:8]} best_val {min(curve):.4f} '

@@ -54,3 +54,38 @@ def test_micro_sweep_round_trip(tmp_path):
         lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 80))))['params'])
     assert d.params(archs[0]) == expected
     assert d.val_acc(archs[0], seed=2) is not None
+
+
+def test_sweep_resume_replays_log(tmp_path, monkeypatch):
+    """An interrupted sweep must not lose finished jobs: completed rows
+    are journaled to sweep-e{E}.jsonl as they finish, and a restarted
+    run replays them instead of retraining (r5: the first e40 regeneration
+    died mid-flight and lost 36 finished jobs)."""
+    import nbasr_tpu.parallel.sweep as sw
+    from nbasr_tpu import dataset as ds
+
+    calls = []
+
+    def fake_train(arch, seed, *a, **k):
+        calls.append((str(arch), seed))
+        return [0.5, 0.4], 0.45
+
+    monkeypatch.setattr(sw, '_train_one', fake_train)
+    archs = list(sw.unique_architectures(limit=2).values())
+    paths = sw.run_sweep(archs, seeds=(1, 2), data_root='synthetic:4',
+                         out_dir=str(tmp_path), epochs=2, progress=False)
+    assert len(calls) == 4
+    assert (tmp_path / 'sweep-e2.jsonl').exists()
+
+    # delete the DBs (simulating a crash before the final write) and rerun
+    for p in paths:
+        import pathlib
+        pathlib.Path(p).unlink()
+    calls.clear()
+    paths = sw.run_sweep(archs, seeds=(1, 2), data_root='synthetic:4',
+                         out_dir=str(tmp_path), epochs=2, progress=False)
+    assert calls == []          # everything replayed from the journal
+    d = ds.from_folder(str(tmp_path), max_epochs=2, seeds=[1, 2],
+                       devices=False)
+    info = d.full_info(archs[0], seed=1, return_dict=True)
+    assert info['val_per'] == [0.5, 0.4] and info['test_per'] == 0.45
