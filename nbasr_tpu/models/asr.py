@@ -71,6 +71,9 @@ class ASRModel(nn.Module):
     #: grouped-conv implementation for the cell ops: 'auto' | 'native' |
     #: 'masked_dense' | 'pallas' (see layers.PadConvRelu perf note).
     grouped_impl: str = 'auto'
+    #: dense block-conv lowering: 'auto' | 'conv' | 'tap_matmul'
+    #: (see layers.PadConvRelu; scripts/bench_blockconv.py for numbers)
+    block_conv_impl: str = 'auto'
     #: rematerialise each SearchCell in the backward pass (jax.checkpoint):
     #: trades ~35% more FLOPs for O(cells) less activation memory — enables
     #: much larger batch/sequence products per chip.
@@ -139,6 +142,7 @@ class ASRModel(nn.Module):
                 x = PadConvRelu(filters, kernel_size=kernel, strides=stride,
                                 init_scheme=self.init_scheme,
                                 pad_math=self.pad_math,
+                                dense_impl=self.block_conv_impl,
                                 name=f'block{i}_conv')(x, train=train)
                 x = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=x.dtype,
                                  name=f'block{i}_norm')(x)

@@ -129,6 +129,25 @@ def conv_padding(kernel_size, dilation, strides, context=FUTURE_CONTEXT,
     return (kernel_size - 1) * dilation - rpad, rpad
 
 
+class _DenseConvParams(nn.Module):
+    """Holds ``kernel``/``bias`` with the exact tree and shapes of
+    ``nn.Conv(name='conv')`` so the tap-matmul dense path is
+    checkpoint-interchangeable with the conv lowering."""
+
+    features: int
+    kernel_size: int
+    kernel_init: object
+
+    @nn.compact
+    def __call__(self, in_features):
+        kernel = self.param('kernel', self.kernel_init,
+                            (self.kernel_size, in_features, self.features),
+                            jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class PadConvRelu(nn.Module):
     """Pad → grouped Conv1D → clip-ReLU(20) → dropout.
 
@@ -158,6 +177,13 @@ class PadConvRelu(nn.Module):
     ``grouped_impl='auto'`` selects ``'chunked'``; parameters are stored in
     the compact grouped layout ``[K, ci, C_out]`` for every impl, so
     checkpoints and param counts are unaffected by the choice.
+
+    For the DENSE block convs (``groups == 1``) a second lever exists:
+    ``dense_impl='tap_matmul'`` reformulates the k-tap conv as K shifted
+    ``[B*T, cin] x [cin, co]`` matmuls accumulated in f32 — on TPU the
+    stride-2 blocks measured faster this way than XLA's conv lowering
+    (scripts/bench_blockconv.py); parameters keep the ``conv/{kernel,bias}``
+    tree of the ``nn.Conv`` path so checkpoints are interchangeable.
     """
 
     filters: int
@@ -167,6 +193,8 @@ class PadConvRelu(nn.Module):
     groups: int = 1
     dropout_rate: float = 0.0
     grouped_impl: str = 'auto'  # 'auto' | 'native' | 'masked_dense'
+    #: dense-conv (groups==1) lowering: 'auto' | 'conv' | 'tap_matmul'
+    dense_impl: str = 'auto'
     #: 'torch' (canonical, dilation-aware) or 'tf' (the shipped TF
     #: backend's dilation-blind formula, model/tf/ops.py:16-21).
     pad_math: str = 'torch'
@@ -191,6 +219,11 @@ class PadConvRelu(nn.Module):
         if self.grouped_impl == 'auto':
             return 'chunked'  # measured-best (see class docstring)
         return self.grouped_impl
+
+    def _resolved_dense(self):
+        if self.dense_impl == 'auto':
+            return 'conv'  # flip per-platform only with a measured win
+        return self.dense_impl
 
     @staticmethod
     def chunk_count(groups, cin, cout):
@@ -289,6 +322,26 @@ class PadConvRelu(nn.Module):
                 rhs_dilation=(self.dilation,),
                 dimension_numbers=('NWC', 'WIO', 'NWC'))
             x = y + bias.astype(y.dtype)
+        elif self.groups == 1 and self._resolved_dense() == 'tap_matmul':
+            kernel, bias = _DenseConvParams(
+                self.filters, self.kernel_size, self._kernel_init(),
+                name='conv')(in_features)
+            xp = jnp.pad(x, ((0, 0), (lpad, rpad), (0, 0)))
+            t_out = -(-x.shape[1] // self.strides)
+            acc = None
+            # tap k reads x_pad[:, k*dilation + strides*t]; K dense matmuls
+            # accumulate in f32 on the MXU (preferred_element_type)
+            for k in range(self.kernel_size):
+                off = k * self.dilation
+                xs = jax.lax.slice_in_dim(
+                    xp, off, off + (t_out - 1) * self.strides + 1, axis=1)
+                if self.strides > 1:
+                    xs = xs[:, ::self.strides]
+                part = jax.lax.dot_general(
+                    xs, kernel[k].astype(x.dtype), (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+            x = acc.astype(x.dtype) + bias.astype(x.dtype)
         else:
             x = nn.Conv(
                 features=self.filters,

@@ -208,3 +208,32 @@ def test_remat_cells_equivalent():
     g2 = jax.grad(lambda p: (m2.apply({'params': p}, x) ** 2).sum())(v['params'])
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_tap_matmul_block_conv_parity():
+    """block_conv_impl='tap_matmul' shares the nn.Conv param tree and
+    reproduces logits and gradients in f32 (layers.PadConvRelu dense_impl)."""
+    small = dict(block_filters=(24, 32, 40, 48), cells_per_block=(1, 1, 1, 1),
+                 cell_groups=4)
+    m_conv = get_model(GOLDEN_ARCH, use_rnn=False, **small)
+    m_tap = get_model(GOLDEN_ARCH, use_rnn=False,
+                      block_conv_impl='tap_matmul', **small)
+    variables, x, sizes = _init(m_conv, T=37)
+    x = jnp.asarray(np.random.RandomState(0).randn(*x.shape), jnp.float32)
+
+    y_conv = m_conv.apply(variables, x, sizes)
+    y_tap = m_tap.apply(variables, x, sizes)  # same param tree by design
+    np.testing.assert_allclose(np.asarray(y_tap), np.asarray(y_conv),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn_model, params):
+        return (fn_model.apply({'params': params}, x, sizes) ** 2).sum()
+
+    from jax.flatten_util import ravel_pytree
+    g_conv = jax.grad(lambda p: loss(m_conv, p))(variables['params'])
+    g_tap = jax.grad(lambda p: loss(m_tap, p))(variables['params'])
+    flat_c, _ = ravel_pytree(g_conv)
+    flat_t, _ = ravel_pytree(g_tap)
+    # tap accumulation reassociates the K-sum: tiny f32 ordering noise
+    np.testing.assert_allclose(np.asarray(flat_t), np.asarray(flat_c),
+                               rtol=5e-3, atol=2e-3)
