@@ -10,6 +10,7 @@ Complements the reference-compatible ``train.py`` (SURVEY.md §7.9):
     python -m nbasr_tpu.cli benchpass --archs 4 --out db/
     python -m nbasr_tpu.cli viz 1 0 1 0 0 1 0 0 0 --out graphs/
     python -m nbasr_tpu.cli proxy synflow 1 0 1 0 0 1 0 0 0
+    python -m nbasr_tpu.cli quantize exp/best.ckpt --out model.int8.npz
 """
 
 import argparse
@@ -62,6 +63,12 @@ def main(argv=None):
     p.add_argument('model', type=int, nargs=9)
     p.add_argument('--frames', type=int, default=128)
 
+    z = sub.add_parser('quantize',
+                       help='int8-PTQ a trainer checkpoint to one .npz')
+    z.add_argument('ckpt', help='best.ckpt / latest.ckpt from a train run')
+    z.add_argument('--out', type=str, default=None,
+                   help='output .npz (default: <ckpt>.int8.npz)')
+
     args = parser.parse_args(argv)
 
     if args.cmd == 'hash':
@@ -101,6 +108,18 @@ def main(argv=None):
         lsize = np.asarray([8], 'int32')
         print(compute_proxy(args.name, _arch(args.model), feats, fsize,
                             labels, lsize))
+    elif args.cmd == 'quantize':
+        import pathlib
+        from flax import serialization
+        from .quant import quantize_tree, quantized_size_bytes, save_quantized
+        raw = serialization.msgpack_restore(
+            pathlib.Path(args.ckpt).read_bytes())
+        qtree = quantize_tree(raw['params'])
+        out = args.out or args.ckpt + '.int8.npz'
+        save_quantized(out, qtree)
+        qb, fb = quantized_size_bytes(qtree)
+        print(json.dumps({'out': out, 'int8_bytes': qb, 'f32_bytes': fb,
+                          'ratio': round(qb / fb, 3)}))
 
 
 if __name__ == '__main__':

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['quantize_tree', 'dequantize_tree', 'quantized_apply',
-           'quantized_size_bytes', 'KERNEL_KEYS']
+           'quantized_size_bytes', 'save_quantized', 'load_quantized',
+           'KERNEL_KEYS']
 
 #: param-leaf names that hold matmul-class kernels (quantized along their
 #: LAST axis = output channels/lanes):
@@ -101,6 +102,41 @@ def quantized_apply(model, qtree, variables, *args, **kwargs):
     params = dequantize_tree(qtree)
     merged = {**variables, 'params': params}
     return model.apply(merged, *args, **kwargs)
+
+
+def save_quantized(path, qtree):
+    """Write a quantized tree to one ``.npz`` ('/'-joined path keys;
+    ``...#q`` / ``...#s`` suffixes mark quantized kernel halves)."""
+    flat = {}
+    def walk(node, prefix):
+        if _is_qleaf(node):
+            flat[prefix + '#q'] = np.asarray(node['q'])
+            flat[prefix + '#s'] = np.asarray(node['s'])
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f'{prefix}/{k}' if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+    walk(qtree, '')
+    np.savez(path, **flat)
+
+
+def load_quantized(path):
+    """Inverse of :func:`save_quantized`."""
+    out = {}
+    with np.load(path) as z:
+        for key in z.files:
+            arr = z[key]
+            name, _, half = key.partition('#')
+            parts = name.split('/')
+            node = out
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            if half:
+                node.setdefault(parts[-1], {})[half] = arr
+            else:
+                node[parts[-1]] = arr
+    return out
 
 
 def quantized_size_bytes(qtree):

@@ -82,3 +82,34 @@ def test_size_accounting():
     qtree = quantize_tree(variables['params'])
     qb, fb = quantized_size_bytes(qtree)
     assert qb < 0.32 * fb, (qb, fb)  # ~4x smaller than f32 overall
+
+
+def test_save_load_roundtrip_and_cli(tmp_path):
+    """npz save/load reproduces the quantized tree; the CLI quantizes a
+    flax-serialized checkpoint end-to-end."""
+    from flax import serialization
+    from nbasr_tpu.quant import save_quantized, load_quantized
+    from nbasr_tpu import cli
+
+    _, variables, *_ = _small_model(use_rnn=True)
+    qtree = quantize_tree(variables['params'])
+    p = tmp_path / 'model.int8.npz'
+    save_quantized(p, qtree)
+    back = load_quantized(p)
+    flat_a = jax.tree_util.tree_flatten_with_path(qtree)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]), str(path))
+
+    ckpt = tmp_path / 'best.ckpt'
+    payload = {'params': variables['params'], 'step': 0}
+    ckpt.write_bytes(serialization.to_bytes(payload))
+    out = tmp_path / 'out.npz'
+    cli.main(['quantize', str(ckpt), '--out', str(out)])
+    assert out.exists()
+    again = load_quantized(out)
+    flat_c = dict(jax.tree_util.tree_flatten_with_path(again)[0])
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_c[path]), str(path))
