@@ -99,8 +99,16 @@ class StreamingASR:
     """
 
     def __init__(self, model, variables, chunk_frames=240, batch_size=1,
-                 frontend=None, dtype=jnp.float32):
+                 frontend=None, dtype=jnp.float32, quantize=False):
         self.model = model
+        if quantize:
+            # weights-only int8 PTQ (quant.py): the serving executable's
+            # resident weight buffers are the int8 tree + per-channel
+            # scales; dequantization happens inside the jitted step
+            from .quant import quantize_tree
+            variables = {**{k: v for k, v in variables.items()
+                            if k != 'params'},
+                         '_qparams': quantize_tree(variables['params'])}
         self.variables = variables
         self.frontend = frontend or FrontendConfig()
         self.ts = int(np.prod(model.block_strides))
@@ -144,6 +152,11 @@ class StreamingASR:
         """One fixed-shape inference step: window [B, Wf, F] -> logits
         [B, Co, V] for output frames [trim_off, trim_off + Co) of the
         window's encoder output, advancing the LSTM carry."""
+        if '_qparams' in variables:
+            from .quant import dequantize_tree
+            variables = {**{k: v for k, v in variables.items()
+                            if k != '_qparams'},
+                         'params': dequantize_tree(variables['_qparams'])}
         enc = model.apply(variables, window.astype(self.dtype), mask=mask,
                           stage='encode')
         enc = jax.lax.dynamic_slice_in_dim(enc, trim_off, self.Co, axis=1)

@@ -129,3 +129,41 @@ def test_latency_reporting():
     s = StreamingASR(model, variables, chunk_frames=24, batch_size=1)
     assert s.latency_frames == s.hr + 24
     assert s.latency_seconds == pytest.approx(s.latency_frames * 0.010)
+
+
+def test_streaming_int8_quantized():
+    """StreamingASR(quantize=True): int8-resident serving tracks the f32
+    stream within per-channel quantization error and matches the offline
+    apply on the dequantized weights exactly (same chunk math)."""
+    from nbasr_tpu.quant import dequantize_tree
+    model = _model(True)
+    B, S = 2, 12000
+    audio = _audio(B, S)
+    valid = np.array([S, S - 3000])
+    cfg = FrontendConfig()
+    feats = log_mel_spectrogram(jnp.asarray(audio), cfg)
+    sizes = jnp.asarray(num_frames(valid, cfg))
+    variables = model.init(jax.random.PRNGKey(0), feats, sizes)
+
+    sq = StreamingASR(model, variables, chunk_frames=24, batch_size=B,
+                      quantize=True)
+    got = np.concatenate([np.asarray(lg) for lg, _ in
+                          _run_stream(sq, audio, valid)], axis=1)
+
+    # exactness vs the dequantized-weights stream (identical math path)
+    deq_vars = {**{k: v for k, v in sq.variables.items() if k != '_qparams'},
+                'params': dequantize_tree(sq.variables['_qparams'])}
+    sd = StreamingASR(model, deq_vars, chunk_frames=24, batch_size=B)
+    ref = np.concatenate([np.asarray(lg) for lg, _ in
+                          _run_stream(sd, audio, valid)], axis=1)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    # accuracy vs the unquantized stream: bounded by int8 kernel error
+    s0 = StreamingASR(model, variables, chunk_frames=24, batch_size=B)
+    full = np.concatenate([np.asarray(lg) for lg, _ in
+                           _run_stream(s0, audio, valid)], axis=1)
+    scale = np.abs(full).max()
+    # random-init tiny channels quantize worst-case (~7% of range across
+    # 10 layers + LSTM recurrence); the per-kernel bound lives in
+    # test_quant, this guards end-to-end sanity
+    assert np.abs(got - full).max() < 0.12 * scale
