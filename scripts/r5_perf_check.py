@@ -1,7 +1,8 @@
 """Round-5 on-chip checks, run after the e40 sweep frees the chip.
 
-1. Train-step time at the bench config (register-blocked fused cell) —
-   comparable to BENCH_r04's 31.89 ms/step protocol.
+1. Train-step time at the BUCKET-2 probe shape (B=32, T=470 frames) —
+   NOT the bench.py bucket-1 protocol (~300 frames, 31.27 ms r5); this
+   longer-sequence probe tracks the r3/r4 per-block breakdown tables.
 2. Beam-search cold-compile time with the persistent cache disabled
    (VERDICT r4 next #5 target: < 60 s) + steady per-batch latency.
 3. shard_map-wrapped fused train step on a REAL-chip 1-device mesh
